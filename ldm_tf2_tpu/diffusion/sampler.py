@@ -1,0 +1,265 @@
+"""DDIM/DDPM reverse-process sampling with classifier-free guidance.
+
+TPU-native re-design of the reference's sampler
+(/root/reference/model_runners.py:437-575).  Key differences from the
+reference, all motivated by the XLA compilation model:
+
+* The whole pipeline — text encoding, the S-step denoising loop, and the
+  autoencoder decode — is **one jitted function**; the loop is a
+  ``lax.scan`` over the DDIM index (the reference uses a graph-level
+  ``tf.while_loop`` and leaves text encode + decode outside any
+  ``tf.function``, model_runners.py:474-509).
+* PRNG state is an explicit key threaded through the scan carry (the
+  reference calls stateful ``tf.random.normal`` per step,
+  model_runners.py:466).
+* Classifier-free guidance runs as one U-Net call on a [2B] batch per step
+  (same double-batch trick as model_runners.py:451-452): the conditional /
+  unconditional halves share all weights, so batching them doubles MXU
+  utilization instead of doubling latency.
+* The uncond/cond split is derived from the context shape instead of the
+  reference's hard-coded ``context[:4]`` (model_runners.py:480-481 — a
+  latent batch-size-4 assumption; SURVEY.md §7 "bugs to fix, not port").
+* The progressive-capture variant records every ``record_freq``-th step with
+  the same one-hot insert-mask trick (model_runners.py:543-551) but works —
+  the reference's version calls a nonexistent method and has never run
+  (model_runners.py:535).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ldm_tf2_tpu.diffusion.schedule import DiffusionSchedule
+
+# An epsilon-model: (xt_doubled [2B,H,W,C], t [2B], context [2B,S,D]) -> eps.
+EpsModel = Callable[..., jnp.ndarray]
+
+
+def ddim_step(
+    eps_model: EpsModel,
+    schedule: DiffusionSchedule,
+    xt: jnp.ndarray,
+    cond: jnp.ndarray,
+    index: jnp.ndarray,
+    key: jax.Array,
+    guidance_scale: float = 1.0,
+    clip_denoised: bool = False,
+):
+    """One DDIM reverse step with CFG (model_runners.py:438-472).
+
+    Args:
+      eps_model: callable producing predicted noise for a doubled batch.
+      xt: [B, h, w, c] current latents.
+      cond: [2B, seq, d] context, uncond half first.
+      index: scalar int32 index into the DDIM tables.
+      key: PRNG key for the stochastic (eta > 0) term.
+    Returns:
+      (sample, pred_x0)
+    """
+    ddim_steps = jnp.asarray(schedule.ddim_steps)
+    t = jnp.full((xt.shape[0] * 2,), ddim_steps[index], dtype=jnp.float32)
+
+    eps_uncond, eps = jnp.split(
+        eps_model(jnp.concatenate([xt, xt], axis=0), t, cond), 2, axis=0
+    )
+    eps = eps_uncond + guidance_scale * (eps - eps_uncond)
+
+    take = lambda tbl: jnp.take(jnp.asarray(tbl), index).astype(xt.dtype)
+    pred_x0 = (
+        take(schedule.ddim_sqrt_recip_alphas_cumprod) * xt
+        - take(schedule.ddim_sqrt_recipm1_alphas_cumprod) * eps
+    )
+    if clip_denoised:
+        pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+
+    acp_prev = take(schedule.ddim_alphas_cumprod_prev)
+    sigma = take(schedule.ddim_sigmas)
+    mean = (
+        jnp.sqrt(acp_prev) * pred_x0
+        + jnp.sqrt(1.0 - acp_prev - sigma**2) * eps
+    )
+    noise = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+    return mean + sigma * noise, pred_x0
+
+
+def build_cfg_context(context: jnp.ndarray) -> jnp.ndarray:
+    """Reorder a [2B, ...] context (uncond half then cond half) — shape-derived
+    replacement for the reference's hard-coded ``context[:4]`` split
+    (model_runners.py:480-482)."""
+    batch = context.shape[0] // 2
+    return jnp.concatenate([context[:batch], context[batch:]], axis=0)
+
+
+def ddim_sample_loop(
+    eps_model: EpsModel,
+    schedule: DiffusionSchedule,
+    context: jnp.ndarray,
+    shape: tuple[int, ...],
+    key: jax.Array,
+    guidance_scale: float = 5.0,
+    clip_denoised: bool = False,
+) -> jnp.ndarray:
+    """Full S-step DDIM reverse process as a single lax.scan
+    (model_runners.py:474-509, re-expressed on-device).
+
+    Args:
+      context: [2B, seq, d] text embeddings, uncond half first.
+      shape: latent shape [B, h, w, c].
+      key: PRNG key; split per step for the eta-noise.
+    Returns:
+      x0 latents [B, h, w, c].
+    """
+    num_steps = len(schedule.ddim_steps)
+    key, init_key = jax.random.split(key)
+    xt = jax.random.normal(init_key, shape, dtype=context.dtype)
+
+    def body(carry, index):
+        xt, key = carry
+        key, step_key = jax.random.split(key)
+        sample, _ = ddim_step(
+            eps_model,
+            schedule,
+            xt,
+            context,
+            index,
+            step_key,
+            guidance_scale,
+            clip_denoised,
+        )
+        return (sample, key), None
+
+    (x0, _), _ = jax.lax.scan(
+        body,
+        (xt, key),
+        jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32),
+    )
+    return x0
+
+
+def ddim_sample_loop_progressive(
+    eps_model: EpsModel,
+    schedule: DiffusionSchedule,
+    context: jnp.ndarray,
+    shape: tuple[int, ...],
+    key: jax.Array,
+    guidance_scale: float = 5.0,
+    record_freq: int = 5,
+    clip_denoised: bool = False,
+):
+    """DDIM loop that additionally records every ``record_freq``-th
+    intermediate sample and pred_x0 (model_runners.py:511-575, fixed).
+
+    Returns:
+      (x0, sample_progress, pred_x0_progress) where the progress tensors are
+      [B, num_records, h, w, c] (latent space; the caller decodes).
+    """
+    num_steps = len(schedule.ddim_steps)
+    num_records = num_steps // record_freq
+    key, init_key = jax.random.split(key)
+    xt = jax.random.normal(init_key, shape, dtype=context.dtype)
+
+    sample_progress = jnp.zeros(
+        (shape[0], num_records, *shape[1:]), dtype=context.dtype
+    )
+    pred_x0_progress = jnp.zeros_like(sample_progress)
+
+    def body(carry, index):
+        xt, key, sample_prog, pred_x0_prog = carry
+        key, step_key = jax.random.split(key)
+        sample, pred_x0 = ddim_step(
+            eps_model,
+            schedule,
+            xt,
+            context,
+            index,
+            step_key,
+            guidance_scale,
+            clip_denoised,
+        )
+        # One-hot insert into the record slot index // record_freq
+        # (model_runners.py:543-551).
+        insert_mask = (
+            (index // record_freq) == jnp.arange(num_records)
+        ).astype(sample.dtype)
+        mask = insert_mask.reshape(1, num_records, *([1] * (sample.ndim - 1)))
+        sample_prog = mask * sample[:, None] + (1.0 - mask) * sample_prog
+        pred_x0_prog = mask * pred_x0[:, None] + (1.0 - mask) * pred_x0_prog
+        return (sample, key, sample_prog, pred_x0_prog), None
+
+    (x0, _, sample_prog, pred_x0_prog), _ = jax.lax.scan(
+        body,
+        (xt, key, sample_progress, pred_x0_progress),
+        jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32),
+    )
+    return x0, sample_prog, pred_x0_prog
+
+
+def ddpm_step(
+    eps_model: EpsModel,
+    schedule: DiffusionSchedule,
+    xt: jnp.ndarray,
+    cond: jnp.ndarray,
+    t: jnp.ndarray,
+    key: jax.Array,
+    guidance_scale: float = 1.0,
+    clip_denoised: bool = True,
+):
+    """One ancestral (DDPM) reverse step using the posterior tables
+    (model_runners.py:392-404).  Provided for schedule completeness; the
+    reference CLI only exercises DDIM."""
+    t_vec = jnp.full((xt.shape[0] * 2,), t, dtype=jnp.float32)
+    eps_uncond, eps = jnp.split(
+        eps_model(jnp.concatenate([xt, xt], axis=0), t_vec, cond), 2, axis=0
+    )
+    eps = eps_uncond + guidance_scale * (eps - eps_uncond)
+
+    take = lambda tbl: jnp.take(jnp.asarray(tbl), t).astype(xt.dtype)
+    pred_x0 = (
+        take(schedule.sqrt_recip_alphas_cumprod) * xt
+        - take(schedule.sqrt_recipm1_alphas_cumprod) * eps
+    )
+    if clip_denoised:
+        pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+
+    mean = (
+        take(schedule.posterior_mean_coef1) * pred_x0
+        + take(schedule.posterior_mean_coef2) * xt
+    )
+    log_var = take(schedule.posterior_log_variance_clipped)
+    noise = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+    nonzero = (t > 0).astype(xt.dtype)
+    return mean + nonzero * jnp.exp(0.5 * log_var) * noise, pred_x0
+
+
+def ddpm_sample_loop(
+    eps_model: EpsModel,
+    schedule: DiffusionSchedule,
+    context: jnp.ndarray,
+    shape: tuple[int, ...],
+    key: jax.Array,
+    guidance_scale: float = 5.0,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """Full T-step ancestral sampling loop as a lax.scan."""
+    key, init_key = jax.random.split(key)
+    xt = jax.random.normal(init_key, shape, dtype=context.dtype)
+
+    def body(carry, t):
+        xt, key = carry
+        key, step_key = jax.random.split(key)
+        sample, _ = ddpm_step(
+            eps_model, schedule, xt, context, t, step_key, guidance_scale,
+            clip_denoised,
+        )
+        return (sample, key), None
+
+    (x0, _), _ = jax.lax.scan(
+        body,
+        (xt, key),
+        jnp.arange(schedule.num_steps - 1, -1, -1, dtype=jnp.int32),
+    )
+    return x0

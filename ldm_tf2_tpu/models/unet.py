@@ -1,0 +1,503 @@
+"""Epsilon-prediction U-Net backbone (the hot model: ~0.87B params).
+
+TPU-native counterpart of /root/reference/unet.py.  Structure (unet.py:51-138):
+conv_in -> 11 input blocks (2 residual(+spatial-transformer) blocks per level
+x 4 levels, channel_mult [1,2,4,4], downsample between levels) -> middle
+(res - spatial-transformer - res) -> 12 output blocks with U-skip concat ->
+GroupNorm/SiLU/conv_out.  Spatial transformers run on every level except the
+last (unet.py:85 ``use_spatial_transformer=i < len(channel_mult)-1``), with
+8 heads x (40*mult) per head so the attention width always equals the block
+channel count.
+
+Numerics preserved exactly:
+* U-Net Downsample pads **symmetrically** [[1,1],[1,1]] before its stride-2
+  VALID conv (unet.py:26) — differs from the autoencoder's [[0,1],[0,1]];
+* Upsample = nearest 2x (align_corners=False) + 3x3 SAME conv (unet.py:42-48);
+* GroupNorm eps 1e-5 in residual blocks and the output head (unet.py:115,
+  :374) but 1e-6 inside SpatialTransformer (unet.py:354);
+* time embedding is sinusoidal with **cos before sin** (unet.py:413-418),
+  then Dense(4C)+SiLU, Dense(4C) (unet.py:72-73, :126-127);
+* attention logits scale is ``size_per_head ** -0.5`` applied post-matmul
+  (unet.py:281).
+
+The attention einsums route through `ldm_tf2_tpu.ops.dot_product_attention`
+so self-attention over 1024-4096 spatial tokens can use the Pallas flash
+kernel while the 77-token cross-attention stays on the fused XLA path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ldm_tf2_tpu.models.transformer import Projection
+from ldm_tf2_tpu.ops.attention import dot_product_attention
+from ldm_tf2_tpu.ops.resize import nearest_upsample_2x
+
+
+def get_time_embedding(
+    time: jnp.ndarray, channels: int, max_time: float = 10000.0
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, cos-first (unet.py:401-422).
+
+    Args:
+      time: [batch] float or int timesteps.
+      channels: embedding width.
+    Returns:
+      [batch, channels] float32 embedding.
+    """
+    half = channels // 2
+    freqs = jnp.exp(
+        -jnp.log(jnp.float32(max_time))
+        * jnp.arange(half, dtype=jnp.float32)
+        / half
+    )
+    args = time.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if channels % 2:
+        embedding = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1
+        )
+    return embedding
+
+
+class Downsample(nn.Module):
+    """Symmetric-pad stride-2 conv (or avg-pool) (unet.py:15-30)."""
+
+    channels: int
+    resample_with_conv: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.resample_with_conv:
+            x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+            return nn.Conv(
+                self.channels,
+                (3, 3),
+                strides=(2, 2),
+                padding="VALID",
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + 3x3 SAME conv (unet.py:33-48)."""
+
+    channels: int
+    resample_with_conv: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nearest_upsample_2x(x)
+        if self.resample_with_conv:
+            x = nn.Conv(
+                self.channels, (3, 3), padding="SAME", dtype=self.dtype,
+                name="conv",
+            )(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """GN(1e-5)/SiLU/conv + time-MLP broadcast + GN/SiLU/dropout/conv with
+    Dense shortcut on channel change (unet.py:368-398)."""
+
+    channels: int
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_embedding, *, training: bool = False):
+        h = nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm_1"
+        )(x)
+        h = nn.Conv(
+            self.channels, (3, 3), padding="SAME", dtype=self.dtype,
+            name="conv2d_1",
+        )(nn.silu(h))
+
+        t = nn.Dense(self.channels, dtype=self.dtype, name="dense")(
+            nn.silu(time_embedding)
+        )
+        h = h + t[:, None, None, :]
+
+        h = nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm_2"
+        )(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=not training)(nn.silu(h))
+        h = nn.Conv(
+            self.channels, (3, 3), padding="SAME", dtype=self.dtype,
+            name="conv2d_2",
+        )(h)
+
+        if x.shape[-1] != self.channels:
+            x = nn.Dense(self.channels, dtype=self.dtype, name="shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """q from query, k/v from context (self-attention when context is None)
+    (unet.py:248-292)."""
+
+    num_heads: int = 8
+    size_per_head: int = 64
+    dropout_rate: float = 0.0
+    hidden_size: int | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, context=None, *, training: bool = False):
+        context = query if context is None else context
+        q = Projection(
+            self.num_heads,
+            self.size_per_head,
+            self.num_heads * self.size_per_head,
+            mode="split",
+            dtype=self.dtype,
+            name="query",
+        )(query)
+        k = Projection(
+            self.num_heads,
+            self.size_per_head,
+            self.hidden_size,
+            mode="split",
+            dtype=self.dtype,
+            name="key",
+        )(context)
+        v = Projection(
+            self.num_heads,
+            self.size_per_head,
+            self.hidden_size,
+            mode="split",
+            dtype=self.dtype,
+            name="value",
+        )(context)
+        out = dot_product_attention(q, k, v, scale=self.size_per_head**-0.5)
+        out = Projection(
+            self.num_heads,
+            self.size_per_head,
+            self.num_heads * self.size_per_head,
+            use_bias=True,
+            mode="merge",
+            dtype=self.dtype,
+            name="output",
+        )(out)
+        return nn.Dropout(self.dropout_rate, deterministic=not training)(out)
+
+
+class GEGLU(nn.Module):
+    """Dense(2C) split -> x * gelu(gate) (unet.py:317-325)."""
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x, gate = jnp.split(
+            nn.Dense(self.channels * 2, dtype=self.dtype, name="dense")(x),
+            2,
+            axis=-1,
+        )
+        return x * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """GEGLU(4C) -> dropout -> Dense(C) (unet.py:328-338)."""
+
+    channels: int
+    multiplier: int = 4
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        x = GEGLU(self.channels * self.multiplier, dtype=self.dtype, name="geglu")(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
+        return nn.Dense(self.channels, dtype=self.dtype, name="dense")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Pre-LN(1e-5): self-attn, cross-attn(context), GEGLU FFN — each with
+    residual add (unet.py:295-314)."""
+
+    num_heads: int = 8
+    size_per_head: int = 64
+    dropout_rate: float = 0.1
+    hidden_size: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, *, training: bool = False):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        x = (
+            CrossAttention(
+                self.num_heads,
+                self.size_per_head,
+                self.dropout_rate,
+                dtype=self.dtype,
+                name="att_layer1",
+            )(ln("layernorm1")(x), training=training)
+            + x
+        )
+        x = (
+            CrossAttention(
+                self.num_heads,
+                self.size_per_head,
+                self.dropout_rate,
+                self.hidden_size,
+                dtype=self.dtype,
+                name="att_layer2",
+            )(ln("layernorm2")(x), context, training=training)
+            + x
+        )
+        x = (
+            FeedForward(
+                self.num_heads * self.size_per_head,
+                dtype=self.dtype,
+                name="ffn",
+            )(ln("layernorm3")(x), training=training)
+            + x
+        )
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN(1e-6) -> proj_in -> [B,HW,C] transformer block -> proj_out -> +res
+    (unet.py:341-365).  proj in/out are Dense layers (the PyTorch 1x1 convs
+    squeezed, convert_ckpt_pytorch_to_tf2.py:109,131)."""
+
+    num_heads: int = 8
+    size_per_head: int = 40
+    hidden_size: int = 512
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, *, training: bool = False):
+        b, h, w, c = x.shape
+        y = nn.GroupNorm(
+            num_groups=32, epsilon=1e-6, dtype=self.dtype, name="group_norm"
+        )(x)
+        y = nn.Dense(
+            self.num_heads * self.size_per_head, dtype=self.dtype, name="proj_in"
+        )(y)
+        y = y.reshape(b, h * w, c)
+        y = BasicTransformerBlock(
+            self.num_heads,
+            self.size_per_head,
+            self.dropout_rate,
+            self.hidden_size,
+            dtype=self.dtype,
+            name="block",
+        )(y, context, training=training)
+        y = y.reshape(b, h, w, c)
+        y = nn.Dense(
+            self.num_heads * self.size_per_head, dtype=self.dtype, name="proj_out"
+        )(y)
+        return x + y
+
+
+class InputBlock(nn.Module):
+    """Residual(+spatial transformer) or downsample (unet.py:141-175)."""
+
+    channels: int
+    dropout_rate: float = 0.1
+    use_spatial_transformer: bool = False
+    use_downsample: bool = False
+    num_heads: int = 8
+    size_per_head: int = 40
+    hidden_size: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_embedding=None, context=None, *, training=False):
+        if self.use_downsample:
+            return Downsample(self.channels, dtype=self.dtype, name="downsample")(x)
+        x = ResidualBlock(
+            self.channels, self.dropout_rate, dtype=self.dtype, name="residual"
+        )(x, time_embedding, training=training)
+        if self.use_spatial_transformer:
+            x = SpatialTransformer(
+                self.num_heads,
+                self.size_per_head,
+                self.hidden_size,
+                self.dropout_rate,
+                dtype=self.dtype,
+                name="spatial_transformer",
+            )(x, context, training=training)
+        return x
+
+
+class MiddleBlock(nn.Module):
+    """res -> spatial transformer -> res (unet.py:178-209)."""
+
+    channels: int
+    context_channels: int = 1280
+    num_heads: int = 8
+    size_per_head: int = 160
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_embedding, context, *, training=False):
+        x = ResidualBlock(
+            self.channels, self.dropout_rate, dtype=self.dtype, name="residual1"
+        )(x, time_embedding, training=training)
+        x = SpatialTransformer(
+            self.num_heads,
+            self.size_per_head,
+            self.context_channels,
+            self.dropout_rate,
+            dtype=self.dtype,
+            name="spatial_transformer",
+        )(x, context, training=training)
+        x = ResidualBlock(
+            self.channels, self.dropout_rate, dtype=self.dtype, name="residual2"
+        )(x, time_embedding, training=training)
+        return x
+
+
+class OutputBlock(nn.Module):
+    """Residual(+spatial transformer)(+upsample) (unet.py:212-245)."""
+
+    channels: int
+    dropout_rate: float = 0.1
+    use_spatial_transformer: bool = False
+    use_upsample: bool = False
+    num_heads: int = 8
+    size_per_head: int = 40
+    hidden_size: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_embedding, context=None, *, training=False):
+        x = ResidualBlock(
+            self.channels, self.dropout_rate, dtype=self.dtype, name="residual"
+        )(x, time_embedding, training=training)
+        if self.use_spatial_transformer:
+            x = SpatialTransformer(
+                self.num_heads,
+                self.size_per_head,
+                self.hidden_size,
+                self.dropout_rate,
+                dtype=self.dtype,
+                name="spatial_transformer",
+            )(x, context, training=training)
+        if self.use_upsample:
+            x = Upsample(self.channels, dtype=self.dtype, name="upsample")(x)
+        return x
+
+
+class UNet(nn.Module):
+    """Text-conditioned epsilon predictor (unet.py:51-138; config
+    all_in_one_config.yaml:95-102).
+
+    ``attention_resolutions`` is kept for config-surface parity but — like
+    the reference — the actual placement rule is "spatial transformers on
+    every level except the deepest" (unet.py:85,110).
+    """
+
+    model_channels: int = 320
+    out_channels: int = 4
+    num_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    dropout_rate: float = 0.1
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_heads: int = 8
+    context_channels: int = 1280
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time, context=None, *, training: bool = False):
+        """
+        Args:
+          x: [batch, height, width, in_channels] noisy latents (NHWC).
+          time: [batch] timesteps.
+          context: [batch, seq_len, context_channels] text embeddings.
+        Returns:
+          [batch, height, width, out_channels] predicted noise.
+        """
+        num_levels = len(self.channel_mult)
+
+        h = nn.Conv(
+            self.model_channels, (3, 3), padding="SAME", dtype=self.dtype,
+            name="conv_in",
+        )(x)
+
+        t = get_time_embedding(time, self.model_channels)
+        t = nn.Dense(
+            self.model_channels * 4, dtype=self.dtype, name="time_dense1"
+        )(t.astype(self.dtype))
+        t = nn.Dense(
+            self.model_channels * 4, dtype=self.dtype, name="time_dense2"
+        )(nn.silu(t))
+
+        # Input trunk: skip activations pushed after every block
+        # (unet.py:129-132).
+        hiddens = [h]
+        idx = 0
+        for i, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_blocks):
+                h = InputBlock(
+                    channels=self.model_channels * mult,
+                    dropout_rate=self.dropout_rate,
+                    use_spatial_transformer=i < num_levels - 1,
+                    num_heads=self.num_heads,
+                    size_per_head=(self.model_channels // self.num_heads) * mult,
+                    hidden_size=self.context_channels,
+                    dtype=self.dtype,
+                    name=f"input_block_{idx}",
+                )(h, t, context, training=training)
+                hiddens.append(h)
+                idx += 1
+            if i < num_levels - 1:
+                h = InputBlock(
+                    channels=self.model_channels * mult,
+                    use_downsample=True,
+                    dtype=self.dtype,
+                    name=f"input_block_{idx}",
+                )(h)
+                hiddens.append(h)
+                idx += 1
+
+        h = MiddleBlock(
+            channels=self.model_channels * self.channel_mult[-1],
+            context_channels=self.context_channels,
+            num_heads=self.num_heads,
+            size_per_head=(self.model_channels // self.num_heads)
+            * self.channel_mult[-1],
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            name="middle_block",
+        )(h, t, context, training=training)
+
+        # Output trunk: skip concat then block (unet.py:134-136).
+        idx = 0
+        for i, mult in list(enumerate(self.channel_mult))[::-1]:
+            for j in range(self.num_blocks + 1):
+                h = jnp.concatenate([h, hiddens.pop()], axis=-1)
+                h = OutputBlock(
+                    channels=self.model_channels * mult,
+                    dropout_rate=self.dropout_rate,
+                    use_spatial_transformer=i < num_levels - 1,
+                    use_upsample=i > 0 and j == self.num_blocks,
+                    num_heads=self.num_heads,
+                    size_per_head=(self.model_channels // self.num_heads) * mult,
+                    hidden_size=self.context_channels,
+                    dtype=self.dtype,
+                    name=f"output_block_{idx}",
+                )(h, t, context, training=training)
+                idx += 1
+
+        h = nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm"
+        )(h)
+        return nn.Conv(
+            self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+            name="conv_out",
+        )(nn.silu(h))

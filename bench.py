@@ -1,0 +1,119 @@
+"""Headline benchmark: images/sec/chip at 256x256, 50-step DDIM txt2img.
+
+Runs the full sampling pipeline — text-transformer context, 50 lax.scan DDIM
+steps with CFG double-batching on the full-size (~0.87B) U-Net, KL-AE decode
+— as ONE jitted program on the current default device, with randomly
+initialized weights (throughput is weight-independent).
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against the measured TF2-reference CPU baseline
+(BASELINE.md; the reference publishes no numbers, so we measured its
+per-step U-Net cost on this host's CPU and extrapolated the 50-step
+pipeline — see tools/measure_reference_baseline.py).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Measured TF2 reference baseline (see BASELINE.md "measured-by-us"):
+# images/sec for the 50-step DDIM txt2img pipeline, batch 4, on CPU.
+TF2_CPU_BASELINE_IMAGES_PER_SEC = 0.00478
+
+
+def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
+    from ldm_tf2_tpu.diffusion import make_schedule
+    from ldm_tf2_tpu.diffusion.sampler import ddim_sample_loop
+    from ldm_tf2_tpu.models import AutoencoderKL, TransformerModel, UNet
+
+    dtype = jnp.bfloat16
+    unet = UNet(dtype=dtype)
+    cond = TransformerModel(
+        vocab_size=30522,
+        encoder_stack_size=32,
+        hidden_size=1280,
+        num_heads=8,
+        size_per_head=64,
+        max_seq_len=77,
+        filter_size=5120,
+        dtype=dtype,
+    )
+    ae = AutoencoderKL(dtype=dtype)
+    schedule = make_schedule(
+        beta_start=0.00085, beta_end=0.012, num_ddim_steps=steps
+    )
+
+    key = jax.random.PRNGKey(0)
+    token_ids = jnp.zeros((2 * batch, 77), jnp.int32)
+    latents0 = jnp.zeros((batch, latent, latent, 4))
+    t0 = jnp.zeros((2 * batch,))
+    ctx0 = jnp.zeros((2 * batch, 77, 1280))
+
+    print("[bench] initializing params...", flush=True)
+    unet_params = unet.init(key, jnp.concatenate([latents0] * 2), t0, ctx0)[
+        "params"
+    ]
+    cond_params = cond.init(key, token_ids)["params"]
+    ae_params = ae.init(
+        {"params": key, "sample": key}, jnp.zeros((1, 8 * latent, 8 * latent, 3))
+    )["params"]
+
+    def pipeline(params, token_ids, key):
+        unet_p, cond_p, ae_p = params
+        context = cond.apply({"params": cond_p}, token_ids)
+        eps_model = lambda x, t, c: unet.apply({"params": unet_p}, x, t, c)
+        x0 = ddim_sample_loop(
+            eps_model,
+            schedule,
+            context,
+            (batch, latent, latent, 4),
+            key,
+            guidance_scale=5.0,
+        )
+        images = ae.apply(
+            {"params": ae_p}, x0 / 0.18215, method=AutoencoderKL.decode
+        )
+        return images
+
+    params = (unet_params, cond_params, ae_params)
+    return jax.jit(pipeline), params, token_ids
+
+
+def main():
+    batch = 4
+    pipeline, params, token_ids = build_pipeline(batch=batch)
+    key = jax.random.PRNGKey(42)
+
+    print("[bench] compiling + warmup run...", flush=True)
+    t0 = time.perf_counter()
+    pipeline(params, token_ids, key).block_until_ready()
+    print(f"[bench] warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    runs = 3
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = pipeline(params, token_ids, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    images_per_sec = batch * runs / elapsed
+    p50_latency = elapsed / (batch * runs)
+    result = {
+        "metric": "images/sec/chip, 256x256 50-step DDIM txt2img (CFG, batch 4)",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(
+            images_per_sec / TF2_CPU_BASELINE_IMAGES_PER_SEC, 2
+        ),
+        "p50_per_image_latency_s": round(p50_latency, 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

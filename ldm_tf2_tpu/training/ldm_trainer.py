@@ -1,0 +1,176 @@
+"""Stage-2 training: text-conditioned epsilon-prediction U-Net on frozen
+autoencoder latents.
+
+Counterpart of the reference's ``LatentDiffusionModelTrainer``
+(/root/reference/model_runners.py:578-707), re-designed as one fused jitted
+step on a data-parallel mesh:
+
+* the frozen AE encode, the condition model, the U-Net forward/backward and
+  the AdamW update are a single XLA program (the reference runs a host
+  `for` loop feeding one `tf.function`, model_runners.py:677-689, pinned to
+  CPU by run_ldm_trainer.py:25);
+* condition dropout is **per-example** Bernoulli (an intentional improvement
+  over the reference's whole-batch `tf.cond`, model_runners.py:696-700 —
+  flagged in SURVEY.md §7 as a bug to fix, not port);
+* timesteps are sampled per example, uniform over [0, num_steps)
+  (model_runners.py:694);
+* gradients flow to the U-Net (and optionally the condition model,
+  model_runners.py:658-660); the AE is frozen via stop_gradient + exclusion
+  from the optimizer (model_runners.py:602-625).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ldm_tf2_tpu.diffusion.losses import q_sample
+from ldm_tf2_tpu.diffusion.schedule import DiffusionSchedule
+
+
+@struct.dataclass
+class LDMTrainState:
+    """Carried training state: step, trainable params, optimizer state.
+
+    ``unet_params`` always trains; ``cond_params`` trains only when the step
+    was built with train_cond_model=True (otherwise it is frozen inside
+    `frozen`).
+    """
+
+    step: jnp.ndarray
+    unet_params: Any
+    cond_params: Any
+    opt_state: Any
+
+
+def make_optimizer(
+    learning_rate: float = 5e-5,
+    beta_1: float = 0.9,
+    beta_2: float = 0.999,
+    epsilon: float = 1e-8,
+    weight_decay: float = 0.01,
+) -> optax.GradientTransformation:
+    """AdamW matching the reference's latent_diffusion_optimizer section
+    (all_in_one_config.yaml:125-130)."""
+    return optax.adamw(
+        learning_rate, b1=beta_1, b2=beta_2, eps=epsilon,
+        weight_decay=weight_decay,
+    )
+
+
+def make_ldm_train_step(
+    unet_apply: Callable,
+    cond_apply: Callable,
+    encode_latents: Callable,
+    schedule: DiffusionSchedule,
+    optimizer: optax.GradientTransformation,
+    scale_factor: float = 0.18215,
+    condition_dropout_rate: float = 0.1,
+    train_cond_model: bool = False,
+    null_token_ids: jnp.ndarray | None = None,
+):
+    """Build the jitted LDM train step.
+
+    Args:
+      unet_apply: (params, xt, t, context, rngs) -> eps_hat, training mode.
+      cond_apply: (params, token_ids, rngs) -> context.
+      encode_latents: (ae_params, images, key) -> latents in AE latent space
+        *before* scale_factor (KL: posterior sample; VQ: only_encode —
+        model_runners.py:602-625).
+      null_token_ids: [seq] tokenized "" for condition dropout
+        (run_ldm_trainer.py:71-75: [101, 102, 0...]).
+    Returns:
+      train_step(state, ae_params, images, token_ids, rng) -> (state, metrics)
+    """
+    sqrt_acp = jnp.asarray(schedule.sqrt_alphas_cumprod)
+    sqrt_1m_acp = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod)
+    num_steps = schedule.num_steps
+
+    def loss_fn(trainable, frozen_cond, ae_params, images, token_ids, rng):
+        unet_params = trainable["unet"]
+        cond_params = (
+            trainable["cond"] if train_cond_model else frozen_cond
+        )
+
+        t_key, latent_key, drop_key, noise_key, dropout_key = jax.random.split(
+            rng, 5
+        )
+        batch = images.shape[0]
+        t = jax.random.randint(t_key, (batch,), 0, num_steps)
+
+        latents = encode_latents(ae_params, images, latent_key)
+        latents = jax.lax.stop_gradient(scale_factor * latents)
+
+        if null_token_ids is not None and condition_dropout_rate > 0:
+            drop = jax.random.bernoulli(
+                drop_key, condition_dropout_rate, (batch,)
+            )
+            token_ids = jnp.where(
+                drop[:, None], null_token_ids[None, :].astype(token_ids.dtype),
+                token_ids,
+            )
+
+        context = cond_apply(
+            cond_params, token_ids, {"dropout": dropout_key},
+            training=train_cond_model,
+        )
+        if not train_cond_model:
+            context = jax.lax.stop_gradient(context)
+
+        noise = jax.random.normal(noise_key, latents.shape, latents.dtype)
+        xt = q_sample(sqrt_acp, sqrt_1m_acp, latents, t, noise)
+        eps = unet_apply(
+            unet_params,
+            xt,
+            t.astype(jnp.float32),
+            context,
+            {"dropout": dropout_key},
+            training=True,
+        )
+        # mean over spatial dims per example, then batch mean
+        # (model_runners.py:705-706).
+        loss = jnp.mean(jnp.mean((noise - eps) ** 2, axis=(1, 2, 3)))
+        return loss
+
+    def train_step(state: LDMTrainState, ae_params, images, token_ids, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        trainable = {"unet": state.unet_params}
+        if train_cond_model:
+            trainable["cond"] = state.cond_params
+
+        loss, grads = jax.value_and_grad(loss_fn)(
+            trainable, state.cond_params, ae_params, images, token_ids, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            unet_params=new_trainable["unet"],
+            cond_params=(
+                new_trainable["cond"] if train_cond_model else state.cond_params
+            ),
+            opt_state=opt_state,
+        )
+        return new_state, {"loss": loss}
+
+    return train_step
+
+
+def init_ldm_train_state(
+    unet_params, cond_params, optimizer, train_cond_model: bool = False
+) -> LDMTrainState:
+    trainable = {"unet": unet_params}
+    if train_cond_model:
+        trainable["cond"] = cond_params
+    return LDMTrainState(
+        step=jnp.zeros((), jnp.int32),
+        unet_params=unet_params,
+        cond_params=cond_params,
+        opt_state=optimizer.init(trainable),
+    )

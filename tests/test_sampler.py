@@ -1,0 +1,105 @@
+"""Sampler math + integration tests (SURVEY.md §4 strategy #1/#3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm_tf2_tpu.diffusion import make_schedule
+from ldm_tf2_tpu.diffusion.sampler import (
+    ddim_sample_loop,
+    ddim_sample_loop_progressive,
+    ddim_step,
+    ddpm_sample_loop,
+)
+
+
+def zero_eps_model(xt, t, cond):
+    return jnp.zeros_like(xt)
+
+
+def test_ddim_step_closed_form():
+    """With eps == 0 and eta == 0: sample = sqrt(acp_prev) * sqrt(1/acp) * xt
+    (model_runners.py:455-464)."""
+    schedule = make_schedule(num_steps=100, num_ddim_steps=10)
+    xt = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 3))
+    cond = jnp.zeros((4, 7, 8))
+    index = jnp.int32(5)
+    sample, pred_x0 = ddim_step(
+        zero_eps_model, schedule, xt, cond, index, jax.random.PRNGKey(1)
+    )
+    c_recip = schedule.ddim_sqrt_recip_alphas_cumprod[5]
+    acp_prev = schedule.ddim_alphas_cumprod_prev[5]
+    np.testing.assert_allclose(pred_x0, c_recip * xt, rtol=1e-5)
+    np.testing.assert_allclose(
+        sample, np.sqrt(acp_prev) * c_recip * np.asarray(xt), rtol=1e-5
+    )
+
+
+def test_ddim_step_cfg_mixing():
+    """eps = eps_uncond + s * (eps_cond - eps_uncond) (model_runners.py:453)."""
+    schedule = make_schedule(num_steps=100, num_ddim_steps=10)
+    xt = jnp.ones((2, 2, 2, 1))
+
+    def eps_model(x2, t, cond):
+        # uncond half predicts 0, cond half predicts 1
+        b = x2.shape[0] // 2
+        return jnp.concatenate(
+            [jnp.zeros_like(x2[:b]), jnp.ones_like(x2[b:])], axis=0
+        )
+
+    cond = jnp.zeros((4, 3, 4))
+    idx = jnp.int32(3)
+    s = 5.0
+    sample, pred_x0 = ddim_step(
+        eps_model, schedule, xt, cond, idx, jax.random.PRNGKey(0),
+        guidance_scale=s,
+    )
+    # effective eps = 0 + 5*(1-0) = 5
+    c_recip = schedule.ddim_sqrt_recip_alphas_cumprod[3]
+    c_recipm1 = schedule.ddim_sqrt_recipm1_alphas_cumprod[3]
+    np.testing.assert_allclose(
+        pred_x0, c_recip * np.asarray(xt) - c_recipm1 * 5.0, rtol=1e-5
+    )
+
+
+def test_ddim_loop_shapes_and_determinism():
+    schedule = make_schedule(num_steps=50, num_ddim_steps=5)
+    context = jnp.zeros((4, 7, 8))  # 2B with B=2
+    shape = (2, 4, 4, 3)
+    key = jax.random.PRNGKey(42)
+    x0 = ddim_sample_loop(zero_eps_model, schedule, context, shape, key)
+    assert x0.shape == shape
+    x0b = ddim_sample_loop(zero_eps_model, schedule, context, shape, key)
+    np.testing.assert_array_equal(x0, x0b)
+    # jits cleanly
+    jitted = jax.jit(
+        lambda ctx, k: ddim_sample_loop(zero_eps_model, schedule, ctx, shape, k)
+    )
+    np.testing.assert_allclose(jitted(context, key), x0, rtol=2e-5, atol=1e-6)
+
+
+def test_ddim_progressive_records():
+    schedule = make_schedule(num_steps=50, num_ddim_steps=10)
+    context = jnp.zeros((2, 7, 8))
+    shape = (1, 4, 4, 2)
+    x0, sample_prog, pred_prog = ddim_sample_loop_progressive(
+        zero_eps_model, schedule, context, shape, jax.random.PRNGKey(0),
+        record_freq=5,
+    )
+    assert x0.shape == shape
+    assert sample_prog.shape == (1, 2, 4, 4, 2)
+    assert pred_prog.shape == (1, 2, 4, 4, 2)
+    # slot 0 records index 0..4's last write (index 0, the final step) ==
+    # the returned x0
+    np.testing.assert_allclose(sample_prog[:, 0], x0, rtol=1e-6)
+
+
+def test_ddpm_loop_runs():
+    schedule = make_schedule(num_steps=10, num_ddim_steps=10)
+    context = jnp.zeros((2, 7, 8))
+    shape = (1, 4, 4, 2)
+    x0 = ddpm_sample_loop(
+        zero_eps_model, schedule, context, shape, jax.random.PRNGKey(0)
+    )
+    assert x0.shape == shape
+    assert np.all(np.isfinite(x0))

@@ -1,0 +1,233 @@
+"""Integration tests: train steps decrease loss / update params, and the
+data-parallel sharded step matches the single-device step (SURVEY.md §4
+strategies #3 and #4)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ldm_tf2_tpu.diffusion import make_schedule
+from ldm_tf2_tpu.models import (
+    AutoencoderKL,
+    Discriminator,
+    LPIPS,
+    TransformerModel,
+    UNet,
+)
+from ldm_tf2_tpu.parallel import create_mesh, replicate, shard_batch
+from ldm_tf2_tpu.training.ae_trainer import (
+    init_ae_train_state,
+    make_adam,
+    make_ae_train_steps,
+)
+from ldm_tf2_tpu.training.ldm_trainer import (
+    init_ldm_train_state,
+    make_ldm_train_step,
+    make_optimizer,
+)
+
+IMG = 16  # tiny image size, f2 latents
+
+
+@pytest.fixture(scope="module")
+def tiny_ldm():
+    unet = UNet(
+        model_channels=32,
+        out_channels=4,
+        num_blocks=1,
+        channel_mult=(1, 2),
+        num_heads=2,
+        context_channels=32,
+        dropout_rate=0.0,
+    )
+    cond = TransformerModel(
+        vocab_size=64,
+        encoder_stack_size=1,
+        hidden_size=32,
+        num_heads=2,
+        size_per_head=8,
+        max_seq_len=8,
+        filter_size=64,
+        dropout_rate=0.0,
+    )
+    ae = AutoencoderKL(channels=32, num_blocks=1, multipliers=(1, 2))
+    key = jax.random.PRNGKey(0)
+    images = jnp.zeros((2, IMG, IMG, 3))
+    ids = jnp.zeros((2, 8), jnp.int32)
+    latents = jnp.zeros((2, IMG // 2, IMG // 2, 4))
+    t = jnp.zeros((2,))
+    ctx = jnp.zeros((2, 8, 32))
+
+    unet_params = unet.init(key, latents, t, ctx)["params"]
+    cond_params = cond.init(key, ids)["params"]
+    ae_params = ae.init({"params": key, "sample": key}, images)["params"]
+    return unet, cond, ae, unet_params, cond_params, ae_params
+
+
+def build_step(tiny_ldm, schedule, optimizer):
+    unet, cond, ae, *_ = tiny_ldm
+
+    def unet_apply(params, xt, t, ctx, rngs, training):
+        return unet.apply(
+            {"params": params}, xt, t, ctx, training=training, rngs=rngs
+        )
+
+    def cond_apply(params, ids, rngs, training):
+        return cond.apply(
+            {"params": params}, ids, training=training, rngs=rngs
+        )
+
+    def encode_latents(ae_params, images, key):
+        posterior = ae.apply(
+            {"params": ae_params}, images, method=AutoencoderKL.encode
+        )
+        return posterior.sample(key)
+
+    return make_ldm_train_step(
+        unet_apply,
+        cond_apply,
+        encode_latents,
+        schedule,
+        optimizer,
+        condition_dropout_rate=0.1,
+        null_token_ids=jnp.array([2, 3] + [0] * 6, jnp.int32),
+    )
+
+
+def test_ldm_train_step_updates(tiny_ldm):
+    _, _, _, unet_params, cond_params, ae_params = tiny_ldm
+    schedule = make_schedule(num_steps=100, num_ddim_steps=10)
+    optimizer = make_optimizer(learning_rate=1e-3)
+    step_fn = jax.jit(build_step(tiny_ldm, schedule, optimizer))
+
+    state = init_ldm_train_state(unet_params, cond_params, optimizer)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, IMG, IMG, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 64)
+
+    losses = []
+    for _ in range(3):
+        state, metrics = step_fn(state, ae_params, images, ids,
+                                 jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 3
+    # params actually moved
+    leaf0 = jax.tree.leaves(unet_params)[0]
+    leaf1 = jax.tree.leaves(state.unet_params)[0]
+    assert not np.allclose(leaf0, leaf1)
+    # cond model frozen by default
+    c0 = jax.tree.leaves(cond_params)[0]
+    c1 = jax.tree.leaves(state.cond_params)[0]
+    np.testing.assert_array_equal(c0, c1)
+
+
+def test_ldm_train_step_data_parallel_matches(tiny_ldm):
+    """DP train step on an 8-device mesh == single-device step
+    (SURVEY.md §4 #4)."""
+    _, _, _, unet_params, cond_params, ae_params = tiny_ldm
+    schedule = make_schedule(num_steps=100, num_ddim_steps=10)
+    optimizer = make_optimizer(learning_rate=1e-3)
+    step_fn = jax.jit(build_step(tiny_ldm, schedule, optimizer))
+
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, IMG, IMG, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (8, 8), 0, 64)
+    rng = jax.random.PRNGKey(0)
+
+    # single device
+    state0 = init_ldm_train_state(unet_params, cond_params, optimizer)
+    state1, metrics1 = step_fn(state0, ae_params, images, ids, rng)
+
+    # 8-device mesh: batch sharded, params replicated
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    state0r = replicate(state0, mesh)
+    aer = replicate(ae_params, mesh)
+    imgs_s = shard_batch(images, mesh)
+    ids_s = shard_batch(ids, mesh)
+    state2, metrics2 = step_fn(state0r, aer, imgs_s, ids_s, rng)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics2["loss"]), rtol=1e-5
+    )
+    l1 = jax.tree.leaves(state1.unet_params)[0]
+    l2 = jax.tree.leaves(state2.unet_params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_ae_setup():
+    ae = AutoencoderKL(channels=32, num_blocks=1, multipliers=(1, 2))
+    lpips = LPIPS()
+    disc = Discriminator(channels=16, num_layers=2)
+    key = jax.random.PRNGKey(0)
+    images = jnp.zeros((2, IMG, IMG, 3))
+    ae_params = ae.init({"params": key, "sample": key}, images)["params"]
+    lpips_params = lpips.init(key, images, images)["params"]
+    d_variables = disc.init(key, images)
+    return ae, lpips, disc, ae_params, lpips_params, d_variables
+
+
+def test_ae_train_steps(tiny_ae_setup):
+    ae, lpips, disc, ae_params, lpips_params, d_variables = tiny_ae_setup
+    ae_opt, d_opt = make_adam(1e-4), make_adam(1e-4)
+
+    def reconstruct(params, images, key, training):
+        posterior = ae.apply(
+            {"params": params}, images, method=AutoencoderKL.encode,
+            training=training,
+        )
+        z = posterior.sample(key)
+        out = ae.apply(
+            {"params": params}, z, method=AutoencoderKL.decode,
+            training=training,
+        )
+        return out, posterior, {}
+
+    def reg_loss(posterior):
+        kl = posterior.kl()
+        return jnp.sum(kl) / kl.shape[0]
+
+    def lpips_apply(params, a, b):
+        return lpips.apply({"params": params}, a, b)
+
+    def d_apply(variables, images, training=False, mutable=False):
+        return disc.apply(variables, images, training=training,
+                          mutable=mutable)
+
+    step1, step2 = make_ae_train_steps(
+        reconstruct,
+        reg_loss,
+        lpips_apply,
+        d_apply,
+        ae_opt,
+        d_opt,
+        AutoencoderKL.last_layer_path(),
+        lpips_params,
+        regularization_weight=1e-6,
+        discriminator_weight=0.5,
+    )
+    step1 = jax.jit(step1)
+    step2 = jax.jit(step2)
+
+    state = init_ae_train_state(ae_params, d_variables, ae_opt, d_opt)
+    images = jax.random.normal(jax.random.PRNGKey(3), (2, IMG, IMG, 3)) * 0.5
+
+    state, m1 = step1(state, images, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m1["ae_loss"]))
+    assert int(state.step) == 1
+
+    state, m2 = step2(state, images, jax.random.PRNGKey(0))
+    for k in ("ae_loss", "d_loss", "g_loss", "adaptive_weight"):
+        assert np.isfinite(float(m2[k])), k
+    assert int(state.step) == 2
+    # discriminator params and batch stats moved
+    d0 = jax.tree.leaves(d_variables["params"])[0]
+    d1 = jax.tree.leaves(state.d_params)[0]
+    assert not np.allclose(d0, d1)
+    bs0 = jax.tree.leaves(d_variables["batch_stats"])[0]
+    bs1 = jax.tree.leaves(state.d_batch_stats)[0]
+    assert not np.allclose(bs0, bs1)

@@ -1,0 +1,49 @@
+"""BERT WordPiece tokenization for prompts (host-side only).
+
+The reference tokenizes with HuggingFace `BertTokenizerFast` loaded from a
+local vocab dir (run_ldm_sampler.py:28-46, dataset.py:43-70); tokenization
+never touches the device, so we use the same library.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_tokenizer(vocab_dir: str):
+    from transformers import BertTokenizerFast
+
+    return BertTokenizerFast.from_pretrained(vocab_dir)
+
+
+def tokenize_prompts(
+    tokenizer, prompts: list[str], max_length: int = 77
+) -> np.ndarray:
+    """[len(prompts), max_length] int32 token ids, padded to max_length."""
+    out = tokenizer(
+        prompts,
+        truncation=True,
+        max_length=max_length,
+        padding="max_length",
+    )["input_ids"]
+    return np.asarray(out, dtype=np.int32)
+
+
+def cfg_token_ids(
+    tokenizer, prompt: str, batch_size: int, max_length: int = 77
+) -> np.ndarray:
+    """[2B, L] ids: B copies of the tokenized "" (uncond) then B copies of
+    the prompt (run_ldm_sampler.py:28-46)."""
+    ids = tokenize_prompts(tokenizer, ["", prompt], max_length)
+    uncond, cond = ids[0], ids[1]
+    return np.concatenate(
+        [np.tile(uncond, (batch_size, 1)), np.tile(cond, (batch_size, 1))]
+    )
+
+
+def null_condition_ids(batch_size: int, max_length: int = 77) -> np.ndarray:
+    """Tokenized "" = [CLS][SEP] pad ids, tiled over the batch
+    (run_ldm_trainer.py:71-75)."""
+    row = np.zeros((max_length,), dtype=np.int64)
+    row[0], row[1] = 101, 102
+    return np.tile(row, (batch_size, 1))

@@ -1,0 +1,155 @@
+"""Data-layer tests: TFRecord + Example codecs (cross-checked against
+TensorFlow's writers/parsers, which are the format's reference
+implementation) and the input pipeline."""
+
+import glob
+import io
+import os
+
+import numpy as np
+import pytest
+
+from ldm_tf2_tpu.data.example_proto import decode_example, encode_example
+from ldm_tf2_tpu.data.tfrecord import TFRecordReader, TFRecordWriter, crc32c
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vectors
+    assert crc32c(b"") == 0
+    assert crc32c(b"a") == 0xC1D04330
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA
+
+
+def test_example_roundtrip():
+    features = {
+        "image": b"\x00\x01jpegdata",
+        "caption": [101, 7592, 102, 0, 0],
+        "score": [0.5, -1.25],
+    }
+    data = encode_example(features)
+    decoded = decode_example(data)
+    assert decoded["image"] == [b"\x00\x01jpegdata"]
+    assert decoded["caption"] == [101, 7592, 102, 0, 0]
+    np.testing.assert_allclose(decoded["score"], [0.5, -1.25])
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    path = str(tmp_path / "test.tfrecord")
+    records = [b"hello", b"", b"x" * 10000]
+    with TFRecordWriter(path) as w:
+        for r in records:
+            w.write(r)
+    assert list(TFRecordReader(path, verify_crc=True)) == records
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_interop_with_tensorflow(tmp_path):
+    """Our files parse with tf.data and vice versa (byte-compat proof)."""
+    tf = pytest.importorskip("tensorflow")
+
+    ours = str(tmp_path / "ours.tfrecord")
+    with TFRecordWriter(ours) as w:
+        w.write(encode_example({"image": b"abc", "caption": [1, 2, 3]}))
+
+    # TF reads ours
+    ds = tf.data.TFRecordDataset(ours)
+    raw = next(iter(ds)).numpy()
+    parsed = tf.io.parse_single_example(
+        raw,
+        {
+            "image": tf.io.FixedLenFeature([], "string"),
+            "caption": tf.io.VarLenFeature("int64"),
+        },
+    )
+    assert parsed["image"].numpy() == b"abc"
+    np.testing.assert_array_equal(
+        tf.sparse.to_dense(parsed["caption"]).numpy(), [1, 2, 3]
+    )
+
+    # we read TF's
+    theirs = str(tmp_path / "theirs.tfrecord")
+    with tf.io.TFRecordWriter(theirs) as w:
+        ex = tf.train.Example(
+            features=tf.train.Features(
+                feature={
+                    "image": tf.train.Feature(
+                        bytes_list=tf.train.BytesList(value=[b"xyz"])
+                    ),
+                    "caption": tf.train.Feature(
+                        int64_list=tf.train.Int64List(value=[7, 8])
+                    ),
+                }
+            )
+        )
+        w.write(ex.SerializeToString())
+    rec = next(iter(TFRecordReader(theirs, verify_crc=True)))
+    decoded = decode_example(rec)
+    assert decoded["image"] == [b"xyz"]
+    assert decoded["caption"] == [7, 8]
+
+
+def _write_jpeg(path, size=(20, 30), color=(255, 0, 0)):
+    from PIL import Image
+
+    Image.new("RGB", size, color).save(path, "JPEG")
+
+
+def test_convert_and_load_images(tmp_path):
+    from ldm_tf2_tpu.data.dataset import (
+        convert_images_to_tfrecord,
+        create_dataset,
+        list_tfrecords,
+    )
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths = []
+    for i in range(6):
+        p = str(img_dir / f"{i}.jpg")
+        _write_jpeg(p, size=(20 + i, 30))
+        paths.append(p)
+
+    out = str(tmp_path / "records")
+    convert_images_to_tfrecord(paths, out, num_shards=2)
+    files = list_tfrecords(out)
+    assert len(files) == 2
+
+    it = create_dataset(files, batch_size=2, image_size=16, keys=("image",),
+                        random_seed=0)
+    batch = next(it)
+    assert batch.shape == (2, 16, 16, 3)
+    assert batch.dtype == np.float32
+    assert batch.min() >= -1.0 and batch.max() <= 1.0
+
+
+def test_pad_to_square_and_resize_match_tf():
+    """Pixel-exact parity of pad-to-square + nearest resize vs the
+    reference's tf.image chain (dataset.py:120-135)."""
+    tf = pytest.importorskip("tensorflow")
+    from ldm_tf2_tpu.data.dataset import process_image
+
+    rng = np.random.RandomState(0)
+    for h, w in [(20, 30), (33, 17), (16, 16)]:
+        image = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        ours = process_image(image, 16)
+
+        x = tf.cast(image, "float32") / 127.5 - 1.0
+        if h > w:
+            pad = h - w
+            x = tf.pad(x, [[0, 0], [pad // 2, pad - pad // 2], [0, 0]])
+        elif w > h:
+            pad = w - h
+            x = tf.pad(x, [[pad // 2, pad - pad // 2], [0, 0], [0, 0]])
+        theirs = tf.image.resize(
+            x, (16, 16), method=tf.image.ResizeMethod.NEAREST_NEIGHBOR
+        ).numpy()
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_tokenizer_null_condition():
+    from ldm_tf2_tpu.data.tokenizer import null_condition_ids
+
+    ids = null_condition_ids(3, max_length=8)
+    assert ids.shape == (3, 8)
+    np.testing.assert_array_equal(ids[0], [101, 102, 0, 0, 0, 0, 0, 0])

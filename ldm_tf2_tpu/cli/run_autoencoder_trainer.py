@@ -1,0 +1,192 @@
+"""Stage-1 autoencoder training CLI (KL or VQ + LPIPS + PatchGAN).
+
+Counterpart of /root/reference/run_autoencoder_trainer.py on a data-parallel
+mesh.  Phase switch (reconstruction-only -> +GAN at
+`global_step_discriminator`) happens in the host loop between two jitted
+steps, mirroring the reference's python-level branch
+(model_runners.py:207-213).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from absl import app, flags
+
+from ldm_tf2_tpu.cli._flags import define_integer, define_string
+
+define_string("config_path", None, "Path to yaml config file.")
+define_integer("seed", 0, "Initialization/training PRNG seed.")
+
+FLAGS = flags.FLAGS
+
+
+def main(_):
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_tf2_tpu import factory
+    from ldm_tf2_tpu.checkpoints.manager import CheckpointManager, load_params
+    from ldm_tf2_tpu.configs import load_config
+    from ldm_tf2_tpu.data.dataset import create_dataset, list_tfrecords
+    from ldm_tf2_tpu.models import AutoencoderKL, AutoencoderVQ
+    from ldm_tf2_tpu.parallel import (
+        create_mesh,
+        maybe_initialize_distributed,
+        replicate,
+        shard_batch,
+    )
+    from ldm_tf2_tpu.training.ae_trainer import (
+        init_ae_train_state,
+        make_adam,
+        make_ae_train_steps,
+    )
+    from ldm_tf2_tpu.utils import MetricLogger
+
+    maybe_initialize_distributed()
+    config = load_config(FLAGS.config_path)
+    factory.apply_tpu_settings(config)
+    training = config["autoencoder_training"]
+    ae_type = training["autoencoder_type"]
+    trainer_cfg = dict(
+        config[
+            "autoencoder_kl_trainer" if ae_type == "kl"
+            else "autoencoder_vq_trainer"
+        ]
+    )
+    tpu_cfg = config["tpu"]
+
+    mesh = create_mesh(tpu_cfg["mesh"])
+    print(f"[INFO] Mesh: {mesh}; training {ae_type}-regularized autoencoder...")
+
+    autoencoder = factory.build_autoencoder(config, ae_type)
+    discriminator = factory.build_discriminator(config, ae_type)
+    lpips = factory.build_lpips(config)
+
+    # batch_size in the config is per-device; global = per-device * |data|.
+    params_cfg = dict(training["params"])
+    batch_size = params_cfg["batch_size"] * mesh.shape["data"]
+    params_cfg["batch_size"] = batch_size
+    dataset = create_dataset(
+        list_tfrecords(training["root_path"]),
+        **params_cfg,
+        random_seed=FLAGS.seed,
+    )
+    image_size = params_cfg["image_size"]
+
+    key = jax.random.PRNGKey(FLAGS.seed)
+    dummy = jnp.zeros((1, image_size, image_size, 3))
+    if ae_type == "kl":
+        ae_params = autoencoder.init({"params": key, "sample": key}, dummy)[
+            "params"
+        ]
+    else:
+        ae_params = autoencoder.init(key, dummy)["params"]
+    d_variables = discriminator.init(key, dummy)
+    lpips_params = load_params(config["lpips_ckpt_path"])
+
+    # Reconstruction + regularizer adapters (KL posterior vs VQ codebook loss)
+    if ae_type == "kl":
+
+        def reconstruct(params, images, rng, training):
+            posterior = autoencoder.apply(
+                {"params": params}, images, method=AutoencoderKL.encode,
+                training=training,
+            )
+            z = posterior.sample(rng)
+            out = autoencoder.apply(
+                {"params": params}, z, method=AutoencoderKL.decode,
+                training=training,
+            )
+            return out, posterior, {}
+
+        def regularization_loss(posterior):
+            kl = posterior.kl()
+            return jnp.sum(kl) / kl.shape[0]
+
+        regularization_weight = trainer_cfg["kl_weight"]
+    else:
+
+        def reconstruct(params, images, rng, training):
+            z, codebook_loss, _ = autoencoder.apply(
+                {"params": params}, images, method=AutoencoderVQ.encode,
+                training=training,
+            )
+            out = autoencoder.apply(
+                {"params": params}, z, method=AutoencoderVQ.decode,
+                training=training,
+            )
+            return out, codebook_loss, {}
+
+        regularization_loss = lambda codebook_loss: codebook_loss
+        regularization_weight = trainer_cfg["codebook_weight"]
+
+    def lpips_apply(params, a, b):
+        return lpips.apply({"params": params}, a, b)
+
+    def d_apply(variables, images, training=False, mutable=False):
+        return discriminator.apply(
+            variables, images, training=training, mutable=mutable
+        )
+
+    ae_optimizer = make_adam(**config["autoencoder_optimizer"])
+    d_optimizer = make_adam(**config["discriminator_optimizer"])
+
+    step_ae, step_ae_d = make_ae_train_steps(
+        reconstruct,
+        regularization_loss,
+        lpips_apply,
+        d_apply,
+        ae_optimizer,
+        d_optimizer,
+        type(autoencoder).last_layer_path(),
+        lpips_params,
+        lpips_weight=trainer_cfg["lpips_weight"],
+        regularization_weight=regularization_weight,
+        discriminator_weight=trainer_cfg["discriminator_weight"],
+        discriminator_factor=trainer_cfg["discriminator_factor"],
+        discriminator_loss_type=trainer_cfg["discriminator_loss_type"],
+    )
+    step_ae = jax.jit(step_ae, donate_argnums=(0,))
+    step_ae_d = jax.jit(step_ae_d, donate_argnums=(0,))
+
+    state = replicate(
+        init_ae_train_state(ae_params, d_variables, ae_optimizer, d_optimizer),
+        mesh,
+    )
+    manager = CheckpointManager(training["ckpt_path"])
+    restored = manager.restore_latest(jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        state,
+    ))
+    if restored is not None:
+        step0, state = restored
+        print(f"[INFO] Restored checkpoint at step {step0}...")
+    else:
+        print("[INFO] Training from scratch...")
+
+    gan_from = trainer_cfg["global_step_discriminator"]
+    persist_every = tpu_cfg["persist_per_iterations"] or 5000
+    logger = MetricLogger(log_per_iterations=tpu_cfg["log_per_iterations"])
+    num_iterations = training["num_iterations"]
+    rng = jax.random.PRNGKey(FLAGS.seed + 1)
+
+    for images in dataset:
+        images = shard_batch(np.asarray(images, dtype=np.float32), mesh)
+        step = int(state.step)
+        if step >= gan_from:
+            state, metrics = step_ae_d(state, images, rng)
+        else:
+            state, metrics = step_ae(state, images, rng)
+        step += 1
+        logger.log(step, metrics, batch_size=batch_size)
+        if step % persist_every == 0:
+            manager.save(step, state)
+        if step >= num_iterations:
+            break
+    manager.wait()
+    manager.close()
+
+
+if __name__ == "__main__":
+    flags.mark_flag_as_required("config_path")
+    app.run(main)

@@ -1,0 +1,154 @@
+"""Text-to-image sampling CLI.
+
+Counterpart of /root/reference/run_ldm_sampler.py: one YAML in, images.npy
+out.  The whole pipeline — text-transformer context, S-step DDIM scan with
+CFG, autoencoder decode — is one jitted program on the TPU (the reference
+runs tokenizer and decode on host/eager, model_runners.py:474-509).
+
+Outputs:
+  images.npy                       [B, 256, 256, 3] uint8
+  sample_prog.npy / pred_x0_prog.npy  when ldm_sampling.sample_save_progress
+  (per-image min-max normalized to uint8, run_ldm_sampler.py:18-25)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from absl import app, flags
+
+from ldm_tf2_tpu.cli._flags import define_integer, define_string
+
+define_string("config_path", None, "Path to yaml config file.")
+define_integer("seed", 0, "PRNG seed for sampling noise.")
+
+FLAGS = flags.FLAGS
+
+
+def tensor_to_image(x: np.ndarray) -> np.ndarray:
+    """Per-image min-max normalize to uint8 (run_ldm_sampler.py:18-25)."""
+    x = np.asarray(x, dtype=np.float32)
+    flat = x.reshape(x.shape[0], -1)
+    lo = flat.min(axis=1).reshape(-1, *([1] * (x.ndim - 1)))
+    hi = flat.max(axis=1).reshape(-1, *([1] * (x.ndim - 1)))
+    return ((x - lo) / (hi - lo) * 255).astype(np.uint8)
+
+
+def main(_):
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_tf2_tpu import factory
+    from ldm_tf2_tpu.checkpoints.manager import load_params
+    from ldm_tf2_tpu.configs import load_config
+    from ldm_tf2_tpu.data.tokenizer import cfg_token_ids, load_tokenizer
+    from ldm_tf2_tpu.diffusion.sampler import (
+        ddim_sample_loop,
+        ddim_sample_loop_progressive,
+    )
+    from ldm_tf2_tpu.models import AutoencoderKL, AutoencoderVQ
+
+    config = load_config(FLAGS.config_path)
+    factory.apply_tpu_settings(config)
+    sampling = config["ldm_sampling"]
+    ae_type = sampling["autoencoder_type"]
+
+    cond_model = factory.build_cond_model(config)
+    unet = factory.build_unet(config)
+    autoencoder = factory.build_autoencoder(config, ae_type)
+    schedule = factory.build_schedule(config)
+    scale_factor = config["ldm"]["scale_factor"]
+
+    print("[INFO] Restoring pretrained checkpoints...")
+    cond_params = load_params(config["pre_ckpt_paths"]["cond_stage_model"])
+    unet_params = load_params(config["pre_ckpt_paths"]["unet"])
+    ae_params = load_params(config["pre_ckpt_paths"]["autoencoder"])
+
+    tokenizer = load_tokenizer(sampling["vocab_dir"])
+    shape = tuple(sampling["latent_shape"])
+    token_ids = jnp.asarray(
+        cfg_token_ids(
+            tokenizer,
+            sampling["text_prompt"],
+            shape[0],
+            config["cond_stage_model"]["max_seq_len"],
+        )
+    )
+    guidance_scale = float(sampling["guidance_scale"])
+    save_progress = bool(sampling.get("sample_save_progress", False))
+
+    def decode(ae_params, latents):
+        latents = latents / scale_factor
+        if ae_type == "kl":
+            return autoencoder.apply(
+                {"params": ae_params}, latents, method=AutoencoderKL.decode
+            )
+        return autoencoder.apply(
+            {"params": ae_params},
+            latents,
+            force_quantize=True,
+            method=AutoencoderVQ.decode,
+        )
+
+    def eps_model_of(unet_params):
+        return lambda x, t, c: unet.apply({"params": unet_params}, x, t, c)
+
+    if save_progress:
+
+        def pipeline(params, token_ids, key):
+            cond_p, unet_p, ae_p = params
+            context = cond_model.apply({"params": cond_p}, token_ids)
+            x0, sample_prog, pred_x0_prog = ddim_sample_loop_progressive(
+                eps_model_of(unet_p),
+                schedule,
+                context,
+                shape,
+                key,
+                guidance_scale,
+            )
+            num_records = sample_prog.shape[1]
+            flat = lambda p: p.reshape(shape[0] * num_records, *shape[1:])
+            unflat = lambda img: img.reshape(
+                shape[0], num_records, *img.shape[1:]
+            )
+            return (
+                decode(ae_p, x0),
+                unflat(decode(ae_p, flat(sample_prog))),
+                unflat(decode(ae_p, flat(pred_x0_prog))),
+            )
+
+    else:
+
+        def pipeline(params, token_ids, key):
+            cond_p, unet_p, ae_p = params
+            context = cond_model.apply({"params": cond_p}, token_ids)
+            x0 = ddim_sample_loop(
+                eps_model_of(unet_p), schedule, context, shape, key,
+                guidance_scale,
+            )
+            return decode(ae_p, x0)
+
+    params = (cond_params, unet_params, ae_params)
+    key = jax.random.PRNGKey(FLAGS.seed)
+    print(
+        f"[INFO] Sampling: {schedule.num_ddim_steps} DDIM steps, "
+        f"eta {schedule.eta}, guidance {guidance_scale}..."
+    )
+    out = jax.jit(pipeline)(params, token_ids, key)
+
+    if save_progress:
+        images, sample_prog, pred_x0_prog = jax.tree.map(np.asarray, out)
+        print("[INFO] Saving generated images to 'images.npy'...")
+        np.save("images.npy", tensor_to_image(images))
+        print("[INFO] Saving progressive samples to 'sample_prog.npy'...")
+        np.save("sample_prog.npy", tensor_to_image(sample_prog))
+        print("[INFO] Saving progressive pred_x0 to 'pred_x0_prog.npy'...")
+        np.save("pred_x0_prog.npy", tensor_to_image(pred_x0_prog))
+    else:
+        images = np.asarray(out)
+        print("[INFO] Saving generated images to 'images.npy'...")
+        np.save("images.npy", tensor_to_image(images))
+
+
+if __name__ == "__main__":
+    flags.mark_flag_as_required("config_path")
+    app.run(main)

@@ -1,0 +1,180 @@
+"""Stage-2 LDM training CLI.
+
+Counterpart of /root/reference/run_ldm_trainer.py — but on a TPU
+data-parallel mesh instead of the reference's CPU-pinned single device
+(run_ldm_trainer.py:25).  Fresh U-Net; pretrained transformer + autoencoder
+restored from the converter's artifacts; checkpoint auto-resume from the
+latest step via Orbax.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from absl import app, flags
+
+from ldm_tf2_tpu.cli._flags import define_integer, define_string
+
+define_string("config_path", None, "Path to yaml config file.")
+define_integer("seed", 0, "Initialization/training PRNG seed.")
+
+FLAGS = flags.FLAGS
+
+
+def main(_):
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_tf2_tpu import factory
+    from ldm_tf2_tpu.checkpoints.manager import CheckpointManager, load_params
+    from ldm_tf2_tpu.configs import load_config
+    from ldm_tf2_tpu.data.dataset import create_dataset, list_tfrecords
+    from ldm_tf2_tpu.data.tokenizer import null_condition_ids
+    from ldm_tf2_tpu.models import AutoencoderKL, AutoencoderVQ
+    from ldm_tf2_tpu.parallel import (
+        create_mesh,
+        maybe_initialize_distributed,
+        replicate,
+        shard_batch,
+    )
+    from ldm_tf2_tpu.training.ldm_trainer import (
+        init_ldm_train_state,
+        make_ldm_train_step,
+        make_optimizer,
+    )
+    from ldm_tf2_tpu.utils import MetricLogger
+
+    maybe_initialize_distributed()
+    config = load_config(FLAGS.config_path)
+    factory.apply_tpu_settings(config)
+    training = config["ldm_training"]
+    ae_type = training["autoencoder_type"]
+    tpu_cfg = config["tpu"]
+
+    mesh = create_mesh(tpu_cfg["mesh"])
+    print(f"[INFO] Mesh: {mesh}")
+
+    # Data.  batch_size in the config is per-device (the reference is
+    # single-device so the numbers coincide at data=1); the global batch is
+    # batch_size * |data axis|.
+    filenames = list_tfrecords(training["root_path"])
+    params_cfg = dict(training["params"])
+    batch_size = params_cfg["batch_size"] * mesh.shape["data"]
+    params_cfg["batch_size"] = batch_size
+    dataset = create_dataset(
+        filenames,
+        **params_cfg,
+        max_seq_len=config["cond_stage_model"]["max_seq_len"],
+        random_seed=FLAGS.seed,
+    )
+
+    # Models
+    unet = factory.build_unet(config)
+    cond_model = factory.build_cond_model(config)
+    autoencoder = factory.build_autoencoder(config, ae_type)
+    schedule = factory.build_schedule(config)
+
+    cond_params = load_params(config["pre_ckpt_paths"]["cond_stage_model"])
+    ae_params = load_params(config["pre_ckpt_paths"]["autoencoder"])
+
+    key = jax.random.PRNGKey(FLAGS.seed)
+    image_size = params_cfg["image_size"]
+    ae_cfg = config["autoencoder_kl" if ae_type == "kl" else "autoencoder_vq"]
+    downsample_factor = 2 ** (len(ae_cfg["multipliers"]) - 1)
+    latent_size = image_size // downsample_factor
+    unet_params = unet.init(
+        key,
+        jnp.zeros((1, latent_size, latent_size, config["unet"]["out_channels"])),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 1, config["cond_stage_model"]["hidden_size"])),
+    )["params"]
+
+    # Apply fns
+    def unet_apply(params, xt, t, ctx, rngs, training):
+        return unet.apply(
+            {"params": params}, xt, t, ctx, training=training, rngs=rngs
+        )
+
+    def cond_apply(params, ids, rngs, training):
+        return cond_model.apply(
+            {"params": params}, ids, training=training, rngs=rngs
+        )
+
+    if ae_type == "kl":
+
+        def encode_latents(ae_params, images, key):
+            posterior = autoencoder.apply(
+                {"params": ae_params}, images, method=AutoencoderKL.encode
+            )
+            return posterior.sample(key)
+
+    else:
+
+        def encode_latents(ae_params, images, key):
+            return autoencoder.apply(
+                {"params": ae_params},
+                images,
+                only_encode=True,
+                method=AutoencoderVQ.encode,
+            )
+
+    optimizer = make_optimizer(**config["latent_diffusion_optimizer"])
+    null_ids = jnp.asarray(
+        null_condition_ids(1, config["cond_stage_model"]["max_seq_len"])[0]
+    )
+    train_step = jax.jit(
+        make_ldm_train_step(
+            unet_apply,
+            cond_apply,
+            encode_latents,
+            schedule,
+            optimizer,
+            scale_factor=config["ldm"]["scale_factor"],
+            condition_dropout_rate=training["condition_dropout_rate"],
+            train_cond_model=training["train_cond_model"],
+            null_token_ids=null_ids,
+        ),
+        donate_argnums=(0,),
+    )
+
+    state = init_ldm_train_state(
+        unet_params, cond_params, optimizer,
+        train_cond_model=training["train_cond_model"],
+    )
+    state = replicate(state, mesh)
+    ae_params = replicate(ae_params, mesh)
+
+    manager = CheckpointManager(training["ckpt_path"])
+    restored = manager.restore_latest(jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        state,
+    ))
+    if restored is not None:
+        step0, state = restored
+        print(f"[INFO] Restored checkpoint at step {step0}...")
+    else:
+        print("[INFO] Training from scratch...")
+
+    persist_every = tpu_cfg["persist_per_iterations"] or 1000
+    logger = MetricLogger(log_per_iterations=tpu_cfg["log_per_iterations"])
+    num_iterations = training["num_iterations"]
+    rng = jax.random.PRNGKey(FLAGS.seed + 1)
+
+    for images, caption_ids in dataset:
+        batch = shard_batch(
+            (images.astype(np.float32), caption_ids.astype(np.int32)), mesh
+        )
+        state, metrics = train_step(state, ae_params, *batch, rng)
+        step = int(state.step)
+        logger.log(step, {"loss": metrics["loss"]}, batch_size=batch_size)
+        if step % persist_every == 0:
+            print(f"[INFO] Saving checkpoint at global step {step}...")
+            manager.save(step, state)
+        if step >= num_iterations:
+            break
+    manager.wait()
+    manager.close()
+
+
+if __name__ == "__main__":
+    flags.mark_flag_as_required("config_path")
+    app.run(main)

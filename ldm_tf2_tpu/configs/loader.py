@@ -1,0 +1,78 @@
+"""YAML config loading + validation.
+
+The reference splats `yaml.safe_load` sections straight into constructors
+(run_ldm_sampler.py:50-59); we keep that exact key surface but validate it
+up front (unknown autoencoder types, malformed meshes, and missing sections
+fail loudly at load time instead of deep inside a jit trace).  The additive
+`tpu:` section is ours (mesh/dtype/attention settings).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax.numpy as jnp
+import yaml
+
+_REQUIRED_SECTIONS = (
+    "cond_stage_model",
+    "unet",
+    "autoencoder_kl",
+    "autoencoder_vq",
+    "ldm",
+)
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+}
+
+_TPU_DEFAULTS: dict[str, Any] = {
+    "mesh": {"data": -1},
+    "compute_dtype": "bfloat16",
+    "attention_impl": "auto",
+    "persist_per_iterations": None,
+    "log_per_iterations": 100,
+}
+
+
+def load_config(path: str) -> dict:
+    """Load + validate the all-in-one YAML; fills tpu-section defaults."""
+    with open(path) as f:
+        config = yaml.safe_load(f)
+
+    missing = [s for s in _REQUIRED_SECTIONS if s not in config]
+    if missing:
+        raise ValueError(f"{path}: missing config sections {missing}")
+
+    for section in ("autoencoder_training", "ldm_training", "ldm_sampling"):
+        ae_type = config.get(section, {}).get("autoencoder_type")
+        if ae_type is not None and ae_type not in ("kl", "vq"):
+            raise ValueError(
+                f"{section}.autoencoder_type must be 'kl' or 'vq', got "
+                f"{ae_type!r}"
+            )
+
+    tpu = dict(_TPU_DEFAULTS)
+    tpu.update(config.get("tpu") or {})
+    if tpu["compute_dtype"] not in _DTYPES:
+        raise ValueError(
+            f"tpu.compute_dtype must be one of {sorted(_DTYPES)}, got "
+            f"{tpu['compute_dtype']!r}"
+        )
+    if tpu["attention_impl"] not in ("auto", "xla", "flash"):
+        raise ValueError(
+            f"tpu.attention_impl must be auto|xla|flash, got "
+            f"{tpu['attention_impl']!r}"
+        )
+    config["tpu"] = tpu
+    return config
+
+
+def compute_dtype(config: dict):
+    return _DTYPES[config["tpu"]["compute_dtype"]]
+
+
+def default_config_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "all_in_one_config.yaml")

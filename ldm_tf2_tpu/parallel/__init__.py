@@ -10,8 +10,15 @@ and params, and XLA-emitted collectives over ICI/DCN.
 from ldm_tf2_tpu.parallel.mesh import (
     create_mesh,
     data_sharding,
+    maybe_initialize_distributed,
     replicate,
     shard_batch,
 )
 
-__all__ = ["create_mesh", "data_sharding", "replicate", "shard_batch"]
+__all__ = [
+    "create_mesh",
+    "data_sharding",
+    "maybe_initialize_distributed",
+    "replicate",
+    "shard_batch",
+]

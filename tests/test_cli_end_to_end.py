@@ -1,0 +1,307 @@
+"""End-to-end CLI tests on a tiny config: tfrecord conversion -> AE training
+-> LDM training -> sampling, exercising the same script surface as the
+reference's run_*.py flow (SURVEY.md §3 call stacks)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from ldm_tf2_tpu.data.dataset import convert_images_to_tfrecord, list_tfrecords
+from ldm_tf2_tpu.data.tfrecord import TFRecordWriter
+from ldm_tf2_tpu.data.example_proto import encode_example
+
+IMG = 16
+
+TINY_VOCAB = (
+    ["[PAD]"]
+    + [f"[unused{i}]" for i in range(99)]
+    + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    + ["a", "virus", "monster", "is", "playing", "guitar", "oil", "on",
+       "canvas", "the", "##s"]
+)
+
+
+def _write_jpeg(path, size=(20, 24)):
+    from PIL import Image
+
+    rng = np.random.RandomState(hash(path) % 2**31)
+    arr = rng.randint(0, 255, (size[1], size[0], 3), dtype=np.uint8)
+    Image.fromarray(arr).save(path, "JPEG")
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Tiny config + data + pretrained artifacts."""
+    root = tmp_path_factory.mktemp("ws")
+    os.chdir(root)
+
+    # vocab dir for BertTokenizerFast
+    vocab_dir = root / "bert_model"
+    vocab_dir.mkdir()
+    (vocab_dir / "vocab.txt").write_text("\n".join(TINY_VOCAB) + "\n")
+
+    # images + images_captions tfrecords
+    img_dir = root / "raw"
+    img_dir.mkdir()
+    paths = []
+    for i in range(8):
+        p = str(img_dir / f"{i}.jpg")
+        _write_jpeg(p)
+        paths.append(p)
+    convert_images_to_tfrecord(paths, str(root / "images"), num_shards=2)
+
+    cap_dir = root / "images_captions"
+    cap_dir.mkdir()
+    with TFRecordWriter(str(cap_dir / "data.tfrecord")) as w:
+        for p in paths:
+            with open(p, "rb") as f:
+                img_bytes = f.read()
+            caption = [102, 104, 105, 106] + [0] * 4
+            w.write(encode_example({"image": img_bytes, "caption": caption}))
+
+    config = {
+        "autoencoder_training": {
+            "root_path": str(root / "images"),
+            "params": {"batch_size": 2, "image_size": IMG, "keys": ["image"]},
+            "autoencoder_type": "kl",
+            "ckpt_path": str(root / "aekl"),
+            "num_iterations": 3,
+        },
+        "ldm_training": {
+            "root_path": str(cap_dir),
+            "params": {
+                "batch_size": 2,
+                "image_size": IMG,
+                "flip": False,
+                "keys": ["image", "caption"],
+            },
+            "autoencoder_type": "kl",
+            "ckpt_path": str(root / "ldm"),
+            "num_iterations": 3,
+            "train_cond_model": False,
+            "condition_dropout_rate": 0.1,
+        },
+        "ldm_sampling": {
+            "guidance_scale": 5.0,
+            "latent_shape": [2, IMG // 4, IMG // 4, 4],
+            "sample_save_progress": False,
+            "text_prompt": "a virus monster is playing guitar oil on canvas",
+            "vocab_dir": str(vocab_dir),
+            "autoencoder_type": "kl",
+        },
+        "pre_ckpt_paths": {
+            "cond_stage_model": str(root / "transformer-1"),
+            "unet": str(root / "unet-1"),
+            "autoencoder": str(root / "autoencoder-1"),
+        },
+        "lpips_ckpt_path": str(root / "lpips-1"),
+        "autoencoder_kl_trainer": {
+            "global_step_discriminator": 2,
+            "lpips_weight": 1.0,
+            "kl_weight": 1.0e-6,
+            "discriminator_weight": 0.5,
+            "discriminator_factor": 1.0,
+            "discriminator_loss_type": "hinge",
+        },
+        "autoencoder_vq_trainer": {
+            "global_step_discriminator": 1,
+            "codebook_weight": 1.0,
+            "lpips_weight": 1.0,
+            "kl_weight": 1.0,
+            "discriminator_weight": 0.6,
+            "discriminator_factor": 1.0,
+            "discriminator_loss_type": "hinge",
+        },
+        "cond_stage_model": {
+            "vocab_size": len(TINY_VOCAB),
+            "encoder_stack_size": 1,
+            "hidden_size": 32,
+            "num_heads": 2,
+            "size_per_head": 16,
+            "max_seq_len": 8,
+            "filter_size": 64,
+            "dropout_rate": 0.0,
+        },
+        "autoencoder_kl": {
+            "latent_channels": 4,
+            "channels": 32,
+            "num_blocks": 1,
+            "attention_resolutions": [],
+            "dropout_rate": 0.0,
+            "multipliers": [1, 2, 2],
+            "resample_with_conv": True,
+        },
+        "ae_kl_discriminator": {"channels": 16, "num_layers": 2},
+        "autoencoder_vq": {
+            "latent_channels": 4,
+            "channels": 32,
+            "num_blocks": 1,
+            "attention_resolutions": [4],
+            "dropout_rate": 0.0,
+            "multipliers": [1, 2, 2],
+            "resample_with_conv": True,
+            "vocab_size": 32,
+            "beta": 0.25,
+        },
+        "ae_vq_discriminator": {"channels": 16, "num_layers": 2},
+        "unet": {
+            "model_channels": 32,
+            "out_channels": 4,
+            "num_blocks": 1,
+            "attention_resolutions": [4, 2, 1],
+            "dropout_rate": 0.0,
+            "channel_mult": [1, 2],
+            "num_heads": 2,
+        },
+        "ldm": {
+            "num_steps": 50,
+            "beta_start": 0.00085,
+            "beta_end": 0.012,
+            "v_posterior": 0.0,
+            "scale_factor": 0.18215,
+            "eta": 0.0,
+            "num_ddim_steps": 5,
+        },
+        "autoencoder_optimizer": {
+            "learning_rate": 4.5e-6, "beta_1": 0.5, "beta_2": 0.9,
+            "epsilon": 1.0e-8,
+        },
+        "discriminator_optimizer": {
+            "learning_rate": 4.5e-6, "beta_1": 0.5, "beta_2": 0.9,
+            "epsilon": 1.0e-8,
+        },
+        "latent_diffusion_optimizer": {
+            "learning_rate": 5.0e-5, "beta_1": 0.9, "beta_2": 0.999,
+            "epsilon": 1.0e-8, "weight_decay": 0.01,
+        },
+        "tpu": {"compute_dtype": "float32"},
+    }
+    config_path = str(root / "config.yaml")
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    # pretrained artifacts: tiny random-initialized params saved via orbax
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_tf2_tpu import factory
+    from ldm_tf2_tpu.checkpoints.manager import save_params
+    from ldm_tf2_tpu.configs import load_config
+
+    cfg = load_config(config_path)
+    key = jax.random.PRNGKey(0)
+    cond = factory.build_cond_model(cfg, dtype=jnp.float32)
+    save_params(
+        cfg["pre_ckpt_paths"]["cond_stage_model"],
+        cond.init(key, jnp.zeros((1, 8), jnp.int32))["params"],
+    )
+    unet = factory.build_unet(cfg, dtype=jnp.float32)
+    save_params(
+        cfg["pre_ckpt_paths"]["unet"],
+        unet.init(
+            key, jnp.zeros((1, 2, 2, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 1, 32)),
+        )["params"],
+    )
+    ae = factory.build_autoencoder(cfg, "kl", dtype=jnp.float32)
+    save_params(
+        cfg["pre_ckpt_paths"]["autoencoder"],
+        ae.init({"params": key, "sample": key}, jnp.zeros((1, IMG, IMG, 3)))[
+            "params"
+        ],
+    )
+    lpips = factory.build_lpips(cfg, dtype=jnp.float32)
+    save_params(
+        cfg["lpips_ckpt_path"],
+        lpips.init(key, jnp.zeros((1, IMG, IMG, 3)),
+                   jnp.zeros((1, IMG, IMG, 3)))["params"],
+    )
+    return root, config_path
+
+
+def _run_cli(module, argv):
+    from absl import flags
+    from absl.testing import flagsaver
+
+    for name in list(flags.FLAGS):
+        pass
+    old_argv = sys.argv
+    sys.argv = argv
+    try:
+        flags.FLAGS.unparse_flags()
+        flags.FLAGS(argv)
+        module.main([])
+    finally:
+        sys.argv = old_argv
+        flags.FLAGS.unparse_flags()
+
+
+def test_config_loader_validates(workspace):
+    from ldm_tf2_tpu.configs import load_config
+
+    _, config_path = workspace
+    cfg = load_config(config_path)
+    assert cfg["tpu"]["compute_dtype"] == "float32"
+    assert cfg["tpu"]["attention_impl"] == "auto"
+
+
+def test_sampler_cli(workspace):
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+
+    root, config_path = workspace
+    os.chdir(root)
+    _run_cli(
+        run_ldm_sampler,
+        ["run_ldm_sampler", f"--config_path={config_path}"],
+    )
+    images = np.load(root / "images.npy")
+    assert images.shape == (2, IMG, IMG, 3)
+    assert images.dtype == np.uint8
+
+
+def test_sampler_cli_progressive(workspace):
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["ldm_sampling"]["sample_save_progress"] = True
+    prog_path = str(root / "config_prog.yaml")
+    with open(prog_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(
+        run_ldm_sampler,
+        ["run_ldm_sampler", f"--config_path={prog_path}"],
+    )
+    # 5 ddim steps, record_freq 5 -> 1 record
+    prog = np.load(root / "sample_prog.npy")
+    assert prog.shape == (2, 1, IMG, IMG, 3)
+
+
+def test_ae_trainer_cli(workspace):
+    from ldm_tf2_tpu.cli import run_autoencoder_trainer
+
+    root, config_path = workspace
+    os.chdir(root)
+    _run_cli(
+        run_autoencoder_trainer,
+        ["run_autoencoder_trainer", f"--config_path={config_path}"],
+    )
+    assert (root / "aekl").exists()
+
+
+def test_ldm_trainer_cli(workspace):
+    from ldm_tf2_tpu.cli import run_ldm_trainer
+
+    root, config_path = workspace
+    os.chdir(root)
+    _run_cli(
+        run_ldm_trainer,
+        ["run_ldm_trainer", f"--config_path={config_path}"],
+    )
+    assert (root / "ldm").exists()

@@ -1,0 +1,187 @@
+"""Golden forward-parity tests vs the TF2 reference (SURVEY.md §4 #2).
+
+Fixtures in tests/goldens/ were produced by tools/make_goldens.py running
+the actual reference implementation with deterministic weights; here the
+same weights are re-materialized into our flax models (tests/golden_utils)
+and forward outputs are compared.  These tests pin down every numerics
+decision: SAME-vs-explicit conv padding, the two asymmetric downsample pads,
+GroupNorm eps and grouping, cos-first time embedding, attention scaling,
+nearest-resize semantics, BN moving-stats eval, LPIPS normalization.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import golden_utils as gu
+from ldm_tf2_tpu.models import (
+    AutoencoderKL,
+    AutoencoderVQ,
+    Discriminator,
+    LPIPS,
+    TransformerModel,
+    UNet,
+)
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def load(name):
+    path = os.path.join(GOLDENS, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} missing; run tools/make_goldens.py")
+    return np.load(path)
+
+
+def test_schedule_tables_match_reference():
+    from ldm_tf2_tpu.diffusion import make_schedule
+
+    g = load("schedule")
+    s = make_schedule(
+        beta_start=0.00085, beta_end=0.012, eta=1.0, num_ddim_steps=50
+    )
+    np.testing.assert_allclose(s.betas, g["betas"], rtol=1e-5)
+    np.testing.assert_allclose(
+        s.alphas_cumprod, g["alphas_cumprod"], rtol=1e-5
+    )
+    np.testing.assert_array_equal(s.ddim_steps, g["ddim_steps"])
+    np.testing.assert_allclose(s.ddim_sigmas, g["ddim_sigmas"], rtol=1e-4)
+    np.testing.assert_allclose(
+        s.ddim_alphas_cumprod_prev, g["ddim_alphas_cumprod_prev"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        s.ddim_sqrt_recip_alphas_cumprod,
+        g["ddim_sqrt_recip_alphas_cumprod"],
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        s.ddim_sqrt_recipm1_alphas_cumprod,
+        g["ddim_sqrt_recipm1_alphas_cumprod"],
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        s.posterior_variance, g["posterior_variance"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        s.posterior_mean_coef1, g["posterior_mean_coef1"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        s.posterior_mean_coef2, g["posterior_mean_coef2"], rtol=1e-5
+    )
+
+
+def test_transformer_parity():
+    g = load("transformer")
+    model = TransformerModel(
+        vocab_size=100,
+        encoder_stack_size=2,
+        hidden_size=64,
+        num_heads=2,
+        size_per_head=16,
+        max_seq_len=8,
+        filter_size=128,
+        dropout_rate=0.0,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(g["ids"], jnp.int32)
+    )
+    variables = gu.materialize(variables, gu.transformer_order(2))
+    out = model.apply(variables, jnp.asarray(g["ids"], jnp.int32))
+    np.testing.assert_allclose(out, g["out"], rtol=1e-4, atol=1e-5)
+
+
+def test_unet_parity():
+    g = load("unet")
+    model = UNet(
+        model_channels=160,
+        out_channels=4,
+        num_blocks=1,
+        channel_mult=(1, 2),
+        num_heads=4,
+        context_channels=1280,
+        dropout_rate=0.0,
+    )
+    x, t, ctx = (jnp.asarray(g[k]) for k in ("x", "t", "ctx"))
+    variables = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    variables = gu.materialize(
+        variables, gu.unet_order(num_blocks=1, channel_mult=(1, 2))
+    )
+    out = model.apply(variables, x, t, ctx)
+    np.testing.assert_allclose(out, g["out"], rtol=1e-3, atol=1e-4)
+
+
+def test_autoencoder_kl_parity():
+    g = load("autoencoder_kl")
+    model = AutoencoderKL(channels=32, num_blocks=1, multipliers=(1, 2))
+    x = jnp.asarray(g["x"])
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "sample": key}, x)
+    variables = gu.materialize(
+        variables, gu.autoencoder_kl_order(1, (1, 2), image_size=16)
+    )
+    posterior = model.apply(variables, x, method=AutoencoderKL.encode)
+    np.testing.assert_allclose(posterior.mean, g["mean"], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(posterior.logvar, g["logvar"], rtol=1e-4,
+                               atol=1e-5)
+    recon = model.apply(
+        variables, posterior.mode(), method=AutoencoderKL.decode
+    )
+    np.testing.assert_allclose(recon, g["recon"], rtol=1e-4, atol=1e-5)
+
+
+def test_autoencoder_vq_parity():
+    g = load("autoencoder_vq")
+    model = AutoencoderVQ(
+        channels=32,
+        num_blocks=1,
+        multipliers=(1, 2),
+        attention_resolutions=(8,),
+        vocab_size=32,
+    )
+    x = jnp.asarray(g["x"])
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = gu.materialize(
+        variables,
+        gu.autoencoder_vq_order(1, (1, 2), 16, (8,)),
+    )
+    latents = model.apply(
+        variables, x, only_encode=True, method=AutoencoderVQ.encode
+    )
+    np.testing.assert_allclose(latents, g["latents"], rtol=1e-4, atol=1e-5)
+    quantized, codebook_loss, indices = model.apply(
+        variables, x, method=AutoencoderVQ.encode
+    )
+    np.testing.assert_array_equal(indices, g["indices"])
+    np.testing.assert_allclose(quantized, g["quantized"], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        codebook_loss, g["codebook_loss"], rtol=1e-4, atol=1e-6
+    )
+    recon = model.apply(
+        variables, jnp.asarray(g["quantized"]), method=AutoencoderVQ.decode
+    )
+    np.testing.assert_allclose(recon, g["recon"], rtol=1e-4, atol=1e-5)
+
+
+def test_discriminator_parity():
+    g = load("discriminator")
+    model = Discriminator(channels=16, num_layers=2)
+    x = jnp.asarray(g["x"])
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = gu.materialize(variables, gu.discriminator_order(2))
+    out = model.apply(variables, x)
+    np.testing.assert_allclose(out, g["out"], rtol=1e-4, atol=1e-5)
+
+
+def test_lpips_parity():
+    g = load("lpips")
+    model = LPIPS()
+    a, b = jnp.asarray(g["a"]), jnp.asarray(g["b"])
+    variables = model.init(jax.random.PRNGKey(0), a, b)
+    variables = gu.materialize(variables, gu.lpips_order())
+    out = model.apply(variables, a, b)
+    np.testing.assert_allclose(out, g["out"], rtol=1e-4, atol=1e-6)

@@ -1,0 +1,217 @@
+"""Generate golden forward-parity fixtures from the TF2 reference.
+
+Runs the ACTUAL reference implementation (/root/reference, imported — never
+copied) on CPU with deterministically generated weights, and records
+inputs/outputs to tests/goldens/*.npz.  Weights are drawn sequentially from
+a seeded numpy Generator in `model.get_weights()` order (Keras attribute-
+creation order); the JAX test regenerates the identical weights by walking
+the same order (tests/golden_utils.py) — so the fixtures stay tiny (no
+weights stored).
+
+Run:  TF_USE_LEGACY_KERAS=1 python tools/make_goldens.py
+(legacy Keras because the reference targets TF 2.13 / Keras 2 semantics.)
+"""
+
+import os
+import sys
+
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+
+sys.path.insert(0, "/root/reference")
+
+import numpy as np
+import tensorflow as tf
+
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+SEED = 20260816
+WEIGHT_SCALE = 0.05
+
+
+def assign_weights(model, seed=SEED):
+    """Deterministic weights in get_weights() order; BatchNorm moving
+    variances are made positive (abs) to keep eval-mode BN finite."""
+    gen = np.random.Generator(np.random.Philox(seed))
+    new = []
+    for var, w in zip(model.weights, model.get_weights()):
+        value = gen.standard_normal(w.shape).astype(np.float32) * WEIGHT_SCALE
+        if "moving_variance" in var.name:
+            value = np.abs(value)
+        new.append(value)
+    model.set_weights(new)
+    return [w.shape for w in new]
+
+
+def save(name, **arrays):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"{name}.npz")
+    np.savez_compressed(path, **arrays)
+    print(f"wrote {path}: " + ", ".join(
+        f"{k}{v.shape}" for k, v in arrays.items()))
+
+
+def golden_unet():
+    from unet import UNet
+
+    model = UNet(
+        model_channels=160,
+        out_channels=4,
+        num_blocks=1,
+        channel_mult=[1, 2],
+        num_heads=4,
+        dropout_rate=0.0,
+    )
+    rng = np.random.Generator(np.random.Philox(1))
+    x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    t = np.array([1.0, 981.0], dtype=np.float32)
+    ctx = rng.standard_normal((2, 7, 1280)).astype(np.float32)
+    model(tf.constant(x), tf.constant(t), tf.constant(ctx))  # build
+    shapes = assign_weights(model)
+    out = model(tf.constant(x), tf.constant(t), tf.constant(ctx)).numpy()
+    save("unet", x=x, t=t, ctx=ctx, out=out)
+    return shapes
+
+
+def golden_autoencoder_kl():
+    from autoencoder import AutoencoderKL
+
+    model = AutoencoderKL(channels=32, num_blocks=1, multipliers=(1, 2))
+    rng = np.random.Generator(np.random.Philox(2))
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32) * 0.5
+    model(tf.constant(x))  # build
+    assign_weights(model)
+    posterior = model.encode(tf.constant(x))
+    mean = posterior._mean.numpy()
+    logvar = posterior._logvar.numpy()
+    recon = model.decode(posterior.mode()).numpy()
+    save("autoencoder_kl", x=x, mean=mean, logvar=logvar, recon=recon)
+
+
+def golden_autoencoder_vq():
+    from autoencoder import AutoencoderVQ
+
+    model = AutoencoderVQ(
+        channels=32,
+        num_blocks=1,
+        multipliers=(1, 2),
+        attention_resolutions=(8,),
+        vocab_size=32,
+    )
+    rng = np.random.Generator(np.random.Philox(3))
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32) * 0.5
+    model(tf.constant(x))  # build
+    assign_weights(model)
+    latents = model.encode(tf.constant(x), only_encode=True).numpy()
+    quantized, codebook_loss, indices = model.encode(tf.constant(x))
+    recon = model.decode(quantized).numpy()
+    save(
+        "autoencoder_vq",
+        x=x,
+        latents=latents,
+        quantized=quantized.numpy(),
+        codebook_loss=np.float32(codebook_loss.numpy()),
+        indices=indices.numpy().astype(np.int64),
+        recon=recon,
+    )
+
+
+def golden_transformer():
+    from transformer import TransformerModel
+
+    model = TransformerModel(
+        vocab_size=100,
+        encoder_stack_size=2,
+        hidden_size=64,
+        num_heads=2,
+        size_per_head=16,
+        max_seq_len=8,
+        filter_size=128,
+        dropout_rate=0.0,
+    )
+    rng = np.random.Generator(np.random.Philox(4))
+    ids = rng.integers(0, 100, (2, 8)).astype(np.int64)
+    model(tf.constant(ids))  # build
+    assign_weights(model)
+    out = model(tf.constant(ids)).numpy()
+    save("transformer", ids=ids, out=out)
+
+
+def golden_lpips():
+    from lpips import LPIPS
+
+    model = LPIPS()
+    rng = np.random.Generator(np.random.Philox(5))
+    a = rng.standard_normal((2, 32, 32, 3)).astype(np.float32) * 0.5
+    b = rng.standard_normal((2, 32, 32, 3)).astype(np.float32) * 0.5
+    model(tf.constant(a), tf.constant(b))  # build
+    assign_weights(model)
+    out = model(tf.constant(a), tf.constant(b)).numpy()
+    save("lpips", a=a, b=b, out=out)
+
+
+def golden_discriminator():
+    from discriminator import Discriminator
+
+    model = Discriminator(channels=16, num_layers=2)
+    rng = np.random.Generator(np.random.Philox(6))
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32) * 0.5
+    model(tf.constant(x))  # build
+    assign_weights(model)
+    out = model(tf.constant(x)).numpy()
+    save("discriminator", x=x, out=out)
+
+
+def golden_schedule_and_sampler_coeffs():
+    """DDIM table parity straight from the reference's table construction
+    (model_runners.py:379-423)."""
+    from model_runners import LatentDiffusionModel
+
+    ldm = LatentDiffusionModel(
+        unet=None,
+        autoencoder=None,
+        cond_stage_model=None,
+        num_steps=1000,
+        beta_start=0.00085,
+        beta_end=0.012,
+        v_posterior=0.0,
+        scale_factor=0.18215,
+        eta=1.0,
+        num_ddim_steps=50,
+    )
+    save(
+        "schedule",
+        betas=ldm._betas.numpy().astype(np.float64),
+        alphas_cumprod=ldm._alphas_cumprod.numpy().astype(np.float64),
+        posterior_variance=ldm._posterior_variance.numpy().astype(np.float64),
+        posterior_log_variance_clipped=(
+            ldm._posterior_log_variance_clipped.numpy().astype(np.float64)
+        ),
+        posterior_mean_coef1=(
+            ldm._posterior_mean_coef1.numpy().astype(np.float64)
+        ),
+        posterior_mean_coef2=(
+            ldm._posterior_mean_coef2.numpy().astype(np.float64)
+        ),
+        ddim_steps=ldm._ddim_steps.numpy(),
+        ddim_alphas_cumprod_prev=(
+            ldm._ddim_alphas_cumprod_prev.numpy().astype(np.float64)
+        ),
+        ddim_sigmas=ldm._ddim_sigmas.numpy().astype(np.float64),
+        ddim_sqrt_recip_alphas_cumprod=(
+            ldm._ddim_sqrt_recip_alphas_cumprod.numpy().astype(np.float64)
+        ),
+        ddim_sqrt_recipm1_alphas_cumprod=(
+            ldm._ddim_sqrt_recipm1_alphas_cumprod.numpy().astype(np.float64)
+        ),
+    )
+
+
+if __name__ == "__main__":
+    golden_schedule_and_sampler_coeffs()
+    golden_transformer()
+    golden_autoencoder_kl()
+    golden_autoencoder_vq()
+    golden_discriminator()
+    golden_lpips()
+    golden_unet()
+    print("done")

@@ -102,6 +102,7 @@ def ddim_sample_loop(
     key: jax.Array,
     guidance_scale: float = 5.0,
     clip_denoised: bool = False,
+    init_noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full S-step DDIM reverse process as a single lax.scan
     (model_runners.py:474-509, re-expressed on-device).
@@ -115,7 +116,11 @@ def ddim_sample_loop(
     """
     num_steps = len(schedule.ddim_steps)
     key, init_key = jax.random.split(key)
-    xt = jax.random.normal(init_key, shape, dtype=context.dtype)
+    if init_noise is None:
+        xt = jax.random.normal(init_key, shape, dtype=context.dtype)
+    else:
+        xt = init_noise  # injected for trajectory-parity tests
+        # (the reference author did the same, model_runners.py:477)
 
     def body(carry, index):
         xt, key = carry

@@ -1,0 +1,95 @@
+"""End-to-end txt2img parity vs the reference: same weights, same initial
+latent, 5 DDIM steps with CFG, AE decode.  This is the BASELINE.json
+north-star check ("images match the TF2 reference within 1e-2 pixel
+tolerance") at tiny scale."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import golden_utils as gu
+from ldm_tf2_tpu.diffusion import make_schedule
+from ldm_tf2_tpu.diffusion.sampler import ddim_sample_loop
+from ldm_tf2_tpu.models import AutoencoderKL, TransformerModel, UNet
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def test_txt2img_pipeline_parity():
+    path = os.path.join(GOLDENS, "txt2img_pipeline.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden missing; run tools/make_goldens.py")
+    g = np.load(path)
+
+    transformer = TransformerModel(
+        vocab_size=100,
+        encoder_stack_size=1,
+        hidden_size=1280,
+        num_heads=8,
+        size_per_head=64,
+        max_seq_len=8,
+        filter_size=256,
+        dropout_rate=0.0,
+    )
+    unet = UNet(
+        model_channels=160,
+        out_channels=4,
+        num_blocks=1,
+        channel_mult=(1, 2),
+        num_heads=4,
+        context_channels=1280,
+        dropout_rate=0.0,
+    )
+    autoencoder = AutoencoderKL(channels=32, num_blocks=1, multipliers=(1, 2))
+
+    key = jax.random.PRNGKey(0)
+    token_ids = jnp.asarray(g["token_ids"], jnp.int32)
+    xt0 = jnp.asarray(g["xt0"])
+
+    tr_vars = transformer.init(key, token_ids)
+    tr_vars = gu.materialize(tr_vars, gu.transformer_order(1), gu.SEED + 1)
+
+    x2 = jnp.concatenate([xt0, xt0])
+    un_vars = unet.init(
+        key, x2, jnp.zeros((4,)), jnp.zeros((4, 8, 1280))
+    )
+    un_vars = gu.materialize(un_vars, gu.unet_order(1, (1, 2)), gu.SEED + 2)
+
+    ae_vars = autoencoder.init(
+        {"params": key, "sample": key}, jnp.zeros((1, 16, 16, 3))
+    )
+    ae_vars = gu.materialize(
+        ae_vars, gu.autoencoder_kl_order(1, (1, 2), 16), gu.SEED + 3
+    )
+
+    schedule = make_schedule(
+        num_steps=50, beta_start=0.00085, beta_end=0.012, eta=0.0,
+        num_ddim_steps=5,
+    )
+
+    def pipeline(token_ids, xt0, key):
+        context = transformer.apply(tr_vars, token_ids)
+        eps_model = lambda x, t, c: unet.apply(un_vars, x, t, c)
+        x0 = ddim_sample_loop(
+            eps_model,
+            schedule,
+            context,
+            tuple(xt0.shape),
+            key,
+            guidance_scale=5.0,
+            init_noise=xt0,
+        )
+        images = autoencoder.apply(
+            ae_vars, x0 / 0.18215, method=AutoencoderKL.decode
+        )
+        return x0, images
+
+    x_final, images = jax.jit(pipeline)(token_ids, xt0, key)
+
+    np.testing.assert_allclose(x_final, g["x_final"], rtol=1e-3, atol=1e-4)
+    # the north-star tolerance: <= 1e-2 in pixel space
+    assert float(jnp.abs(images - g["images"]).max()) < 1e-2
+    np.testing.assert_allclose(images, g["images"], rtol=1e-2, atol=1e-3)

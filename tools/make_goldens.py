@@ -206,6 +206,81 @@ def golden_schedule_and_sampler_coeffs():
     )
 
 
+def golden_txt2img_pipeline():
+    """End-to-end DDIM sampling trajectory with CFG and AE decode, driven by
+    the reference's own `ddim_sample` step (model_runners.py:438-472) with an
+    injected initial latent (noise-parity approach the author used,
+    model_runners.py:477).  eta=0 so per-step noise is irrelevant."""
+    from autoencoder import AutoencoderKL
+    from model_runners import LatentDiffusionModelSampler
+    from transformer import TransformerModel
+    from unet import UNet
+
+    transformer = TransformerModel(
+        vocab_size=100,
+        encoder_stack_size=1,
+        hidden_size=1280,
+        num_heads=8,
+        size_per_head=64,
+        max_seq_len=8,
+        filter_size=256,
+        dropout_rate=0.0,
+    )
+    unet = UNet(
+        model_channels=160,
+        out_channels=4,
+        num_blocks=1,
+        channel_mult=[1, 2],
+        num_heads=4,
+        dropout_rate=0.0,
+    )
+    autoencoder = AutoencoderKL(channels=32, num_blocks=1, multipliers=(1, 2))
+
+    rng = np.random.Generator(np.random.Philox(7))
+    batch = 2
+    token_ids = rng.integers(0, 100, (2 * batch, 8)).astype(np.int64)
+    xt0 = rng.standard_normal((batch, 8, 8, 4)).astype(np.float32)
+
+    # build + deterministic weights (distinct seeds per model)
+    transformer(tf.constant(token_ids))
+    assign_weights(transformer, SEED + 1)
+    unet(
+        tf.constant(np.concatenate([xt0, xt0])),
+        tf.constant(np.zeros(2 * batch, np.float32)),
+        tf.constant(np.zeros((2 * batch, 8, 1280), np.float32)),
+    )
+    assign_weights(unet, SEED + 2)
+    autoencoder(tf.constant(np.zeros((1, 16, 16, 3), np.float32)))
+    assign_weights(autoencoder, SEED + 3)
+
+    sampler = LatentDiffusionModelSampler(
+        unet=unet,
+        autoencoder=autoencoder,
+        cond_stage_model=transformer,
+        num_steps=50,
+        beta_start=0.00085,
+        beta_end=0.012,
+        eta=0.0,
+        num_ddim_steps=5,
+    )
+    context = transformer(tf.constant(token_ids))
+    xt = tf.constant(xt0)
+    for index in range(4, -1, -1):
+        xt = sampler.ddim_sample(
+            xt, context, tf.constant(index), guidance_scale=5.0,
+            clip_denoised=False,
+        )
+    x_final = xt.numpy()
+    images = sampler.decode_first_stage(xt).numpy()
+    save(
+        "txt2img_pipeline",
+        token_ids=token_ids,
+        xt0=xt0,
+        x_final=x_final,
+        images=images,
+    )
+
+
 if __name__ == "__main__":
     golden_schedule_and_sampler_coeffs()
     golden_transformer()
@@ -214,4 +289,5 @@ if __name__ == "__main__":
     golden_discriminator()
     golden_lpips()
     golden_unet()
+    golden_txt2img_pipeline()
     print("done")

@@ -191,15 +191,36 @@ def create_dataset(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    from ldm_tf2_tpu.data import native
+
     rng = random.Random(random_seed)
     with_captions = "caption" in keys
     records = _record_stream(filenames, random_seed, BUFFER_SIZE)
     pool = ThreadPoolExecutor(max_workers=num_workers)
+    use_native = native.available()
 
     def make_one(record: bytes):
+        do_flip = flip and rng.random() < 0.5
+        if use_native:
+            # C++ hot path: proto walk + libjpeg decode + transform, all
+            # outside the GIL (ldm_tf2_tpu/data/native).
+            jpeg = native.example_image_bytes(record)
+            image = (
+                native.decode_and_process(jpeg, image_size, do_flip)
+                if jpeg is not None
+                else None
+            )
+            if image is not None:
+                if with_captions:
+                    caption = native.example_caption(record, max_seq_len)
+                    return image, caption
+                return image
+            # fall through to python path on decode failure
         example = decode_example(record)
         image = _decode_jpeg(example["image"][0])
-        image = process_image(image, image_size, flip, rng)
+        if do_flip:
+            image = image[:, ::-1]
+        image = process_image(image, image_size)
         if with_captions:
             caption = np.asarray(example["caption"], dtype=np.int64)
             caption = caption[:max_seq_len]

@@ -20,9 +20,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Measured TF2 reference baseline (see BASELINE.md "measured-by-us"):
-# images/sec for the 50-step DDIM txt2img pipeline, batch 4, on CPU.
-TF2_CPU_BASELINE_IMAGES_PER_SEC = 0.00478
+# Measured TF2 reference baseline (tools/baseline_measurement.json, see
+# BASELINE.md "measured-by-us"): images/sec for the 50-step DDIM txt2img
+# pipeline, batch 4, on this host's CPU (816.8s for 4 images).
+TF2_CPU_BASELINE_IMAGES_PER_SEC = 0.004897
 
 
 def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):

@@ -85,26 +85,46 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
 
 
 def main():
+    import sys
+
+    # default: the headline 256^2 / 50-step config (BASELINE config #2);
+    # `python bench.py highres` runs BASELINE config #5 (512^2, 64x64
+    # latents, 200 DDIM steps, eta irrelevant for throughput).
+    highres = len(sys.argv) > 1 and sys.argv[1] == "highres"
     batch = 4
-    pipeline, params, token_ids = build_pipeline(batch=batch)
+    if highres:
+        pipeline, params, token_ids = build_pipeline(
+            batch=batch, latent=64, steps=200
+        )
+    else:
+        pipeline, params, token_ids = build_pipeline(batch=batch)
     key = jax.random.PRNGKey(42)
+
+    import numpy as np
+
+    def run(k):
+        out = pipeline(params, token_ids, k)
+        # Force a host round-trip: under remote/tunneled execution,
+        # block_until_ready alone has been observed returning before the
+        # device work completes, so fetch a scalar.
+        return float(jnp.sum(out[0, 0, 0]))
 
     print("[bench] compiling + warmup run...", flush=True)
     t0 = time.perf_counter()
-    pipeline(params, token_ids, key).block_until_ready()
+    run(key)
     print(f"[bench] warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
 
     runs = 3
     t0 = time.perf_counter()
     for i in range(runs):
-        out = pipeline(params, token_ids, jax.random.fold_in(key, i))
-    out.block_until_ready()
+        run(jax.random.fold_in(key, i))
     elapsed = time.perf_counter() - t0
 
     images_per_sec = batch * runs / elapsed
     p50_latency = elapsed / (batch * runs)
+    size = "512x512 200-step" if highres else "256x256 50-step"
     result = {
-        "metric": "images/sec/chip, 256x256 50-step DDIM txt2img (CFG, batch 4)",
+        "metric": f"images/sec/chip, {size} DDIM txt2img (CFG, batch 4)",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(

@@ -132,6 +132,7 @@ def main(_):
             condition_dropout_rate=training["condition_dropout_rate"],
             train_cond_model=training["train_cond_model"],
             null_token_ids=null_ids,
+            remat_unet=bool(tpu_cfg.get("remat", False)),
         ),
         donate_argnums=(0,),
     )

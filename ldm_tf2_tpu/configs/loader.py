@@ -32,6 +32,7 @@ _TPU_DEFAULTS: dict[str, Any] = {
     "mesh": {"data": -1},
     "compute_dtype": "bfloat16",
     "attention_impl": "auto",
+    "remat": False,
     "persist_per_iterations": None,
     "log_per_iterations": 100,
 }

@@ -73,6 +73,7 @@ def make_ldm_train_step(
     condition_dropout_rate: float = 0.1,
     train_cond_model: bool = False,
     null_token_ids: jnp.ndarray | None = None,
+    remat_unet: bool = False,
 ):
     """Build the jitted LDM train step.
 
@@ -90,6 +91,12 @@ def make_ldm_train_step(
     sqrt_acp = jnp.asarray(schedule.sqrt_alphas_cumprod)
     sqrt_1m_acp = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod)
     num_steps = schedule.num_steps
+
+    if remat_unet:
+        # Rematerialize the U-Net forward in the backward pass: trades
+        # ~1/3 more FLOPs for dropping all intermediate activations from
+        # HBM — the standard lever for larger per-chip batches at 256^2+.
+        unet_apply = jax.checkpoint(unet_apply, static_argnums=(5,))
 
     def loss_fn(trainable, frozen_cond, ae_params, images, token_ids, rng):
         unet_params = trainable["unet"]

@@ -21,7 +21,6 @@ The active implementation is process-global state set by
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

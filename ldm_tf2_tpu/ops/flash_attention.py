@@ -1,29 +1,29 @@
 """Blockwise online-softmax (flash) attention — Pallas TPU kernel.
 
-Purpose: the U-Net's spatial self-attention runs over H*W tokens — 1024 at
-256x256 sampling, 4096 at 512x512, 16384 at 1024x1024 (SURVEY.md §5
-long-context row).  The XLA path materializes the [B, H, Q, C] logits tensor
-in HBM; this kernel keeps everything in VMEM with the standard
-one-pass online softmax, so memory is O(Q·S) instead of O(Q·C) and the two
-matmuls stay back-to-back on the MXU.
+Purpose: the U-Net's spatial self-attention and the autoencoder's
+single-head attention run over H*W tokens — 1024 at 256x256, 4096 at
+512x512, 16384 at 1024x1024 (SURVEY.md §5 long-context row).  The XLA path
+materializes the [B, H, Q, C] logits tensor in HBM; this kernel streams
+KV blocks through VMEM with the one-pass online softmax, so HBM traffic is
+O(Q·S + C·S) and the working set is a few blocks regardless of sequence
+length.
 
 Layout contract matches `ldm_tf2_tpu.ops.attention`:
   q [B, Q, H, S], k/v [B, C, H, S] -> out [B, Q, H, S].
 
-TPU specifics:
-* head dim S is zero-padded to a multiple of 128 (lane width).  Zero-pad of
-  q/k leaves the logits unchanged; zero-pad of v adds zero output columns
-  that are sliced off.  The model family's head dims (40/80/160) make this
-  up to 3.2x redundant FLOPs on the QK matmul, but flash only engages at
-  large Q·C where HBM traffic, not MXU time, dominates.
-* KV is processed in BK-sized VMEM blocks via fori_loop with (acc, m, l)
-  carries — no data-dependent control flow, fully unrollable by Mosaic.
-* grid = (B*H, Q/BQ): each program owns one q-block of one batch-head.
+Kernel structure:
+* grid = (B*H, Q/BQ, C/BK).  TPU grids execute sequentially with the last
+  axis minor, so each (bh, qi) pair sweeps its KV blocks in order while the
+  (acc, m, l) state lives in VMEM scratch (scratch persists across grid
+  steps); the normalized output is written once on the final KV block via
+  `pl.when`.
+* Pipelining of the k/v block HBM->VMEM copies is automatic via BlockSpecs.
+* head dim S is zero-padded to the 128 lane width (zero-pad of q/k leaves
+  logits unchanged; zero columns of v are sliced off the output).
 
 Differentiation: gradients fall back to the XLA attention vjp via
-custom_vjp (mathematically identical attention; the backward recomputes
-instead of saving the logits).  A fused flash backward kernel is a later
-optimization.
+custom_vjp (mathematically the same function; backward recomputes instead
+of saving logits).  A fused flash backward kernel is a later optimization.
 """
 
 from __future__ import annotations
@@ -43,41 +43,46 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len,
+    block_k,
+):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
     q = q_ref[0].astype(jnp.float32) * scale  # [BQ, Sp]
-    block_q, sp = q.shape
-    num_kv_blocks = k_ref.shape[1] // block_k
+    k = k_ref[0].astype(jnp.float32)  # [BK, Sp]
+    v = v_ref[0].astype(jnp.float32)
 
-    def body(j, carry):
-        acc, m, l = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        # [BQ, BK] logits on the MXU
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # mask padded keys (kv_len may not be a BK multiple)
-        key_idx = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, BK]
+    key_idx = kv_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 1
+    )
+    s = jnp.where(key_idx < kv_len, s, _NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc_new, m_new, l_new
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
 
-    acc = jnp.zeros((block_q, sp), jnp.float32)
-    m = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc, m, l))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    @pl.when(kv_idx == num_kv - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 def _flash_forward(q, k, v, scale):
@@ -85,7 +90,7 @@ def _flash_forward(q, k, v, scale):
     kv_len = k.shape[1]
     sp = _round_up(s, _LANE)
     block_q = min(512, _round_up(q_len, 8))
-    block_k = min(1024, _round_up(kv_len, _LANE))
+    block_k = min(512, _round_up(kv_len, _LANE))
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
@@ -98,7 +103,7 @@ def _flash_forward(q, k, v, scale):
     kt = to_bh(k, kv_len, kv_pad)
     vt = to_bh(v, kv_len, kv_pad)
 
-    grid = (b * h, q_pad // block_q)
+    grid = (b * h, q_pad // block_q, kv_pad // block_k)
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k
@@ -106,29 +111,35 @@ def _flash_forward(q, k, v, scale):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, sp), lambda bh, i: (bh, i, 0),
+                (1, block_q, sp), lambda bh, qi, ki: (bh, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, kv_pad, sp), lambda bh, i: (bh, 0, 0),
+                (1, block_k, sp), lambda bh, qi, ki: (bh, ki, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, kv_pad, sp), lambda bh, i: (bh, 0, 0),
+                (1, block_k, sp), lambda bh, qi, ki: (bh, ki, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, sp), lambda bh, i: (bh, i, 0),
+            (1, block_q, sp), lambda bh, qi, ki: (bh, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, q_pad, sp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, sp), jnp.float32),  # acc
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running sum
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * q_len * kv_len * sp,
             bytes_accessed=(
-                q.size * q.dtype.itemsize
-                + k.size * k.dtype.itemsize * (q_pad // block_q)
-                + v.size * v.dtype.itemsize * (q_pad // block_q)
+                qt.size * qt.dtype.itemsize
+                + (kt.size + vt.size) * kt.dtype.itemsize
+                * (q_pad // block_q)
+                + qt.size * qt.dtype.itemsize
             ),
             transcendentals=b * h * q_len * kv_len,
         ),

@@ -1,0 +1,104 @@
+"""Training-step throughput on the current device (not the driver headline;
+see bench.py for that).
+
+  python tools/bench_train.py            # LDM train step, 256^2, batch 8
+  python tools/bench_train.py ae         # AE-KL+GAN train step, 256^2, batch 8
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(x):
+    jax.block_until_ready(x)
+    # force host round-trip (remote execution semantics; see bench.py)
+    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
+def bench_ldm(batch=8, image=256, remat=True):
+    from ldm_tf2_tpu.diffusion import make_schedule
+    from ldm_tf2_tpu.models import AutoencoderKL, TransformerModel, UNet
+    from ldm_tf2_tpu.training.ldm_trainer import (
+        init_ldm_train_state,
+        make_ldm_train_step,
+        make_optimizer,
+    )
+
+    dtype = jnp.bfloat16
+    unet = UNet(dtype=dtype)
+    cond = TransformerModel(
+        vocab_size=30522, encoder_stack_size=32, hidden_size=1280,
+        num_heads=8, size_per_head=64, max_seq_len=77, filter_size=5120,
+        dtype=dtype,
+    )
+    ae = AutoencoderKL(dtype=dtype)
+    schedule = make_schedule(beta_start=0.00085, beta_end=0.012)
+    optimizer = make_optimizer()
+
+    key = jax.random.PRNGKey(0)
+    latent = image // 8
+    print("[bench_train] init params...", flush=True)
+    unet_params = unet.init(
+        key, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, 1280)),
+    )["params"]
+    cond_params = cond.init(key, jnp.zeros((1, 77), jnp.int32))["params"]
+    ae_params = ae.init(
+        {"params": key, "sample": key}, jnp.zeros((1, image, image, 3))
+    )["params"]
+
+    def unet_apply(params, xt, t, ctx, rngs, training):
+        return unet.apply({"params": params}, xt, t, ctx, training=training,
+                          rngs=rngs)
+
+    def cond_apply(params, ids, rngs, training):
+        return cond.apply({"params": params}, ids, training=training,
+                          rngs=rngs)
+
+    def encode_latents(ae_params, images, key):
+        posterior = ae.apply({"params": ae_params}, images,
+                             method=AutoencoderKL.encode)
+        return posterior.sample(key)
+
+    step = jax.jit(
+        make_ldm_train_step(
+            unet_apply, cond_apply, encode_latents, schedule, optimizer,
+            null_token_ids=jnp.array([101, 102] + [0] * 75, jnp.int32),
+            remat_unet=remat,
+        ),
+        donate_argnums=(0,),
+    )
+    state = init_ldm_train_state(unet_params, cond_params, optimizer)
+
+    images = jax.random.normal(key, (batch, image, image, 3))
+    ids = jax.random.randint(key, (batch, 77), 0, 30522)
+
+    print("[bench_train] compiling...", flush=True)
+    t0 = time.perf_counter()
+    state, metrics = step(state, ae_params, images, ids, key)
+    sync(metrics["loss"])
+    print(f"[bench_train] compile+1st step {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, ae_params, images, ids, key)
+    sync(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": f"LDM train step, {image}^2, batch {batch}, bf16, "
+                  f"remat={remat}",
+        "step_time_s": round(dt, 4),
+        "images_per_sec": round(batch / dt, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    bench_ldm()

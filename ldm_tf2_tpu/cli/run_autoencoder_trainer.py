@@ -27,7 +27,11 @@ def main(_):
     from ldm_tf2_tpu import factory
     from ldm_tf2_tpu.checkpoints.manager import CheckpointManager, load_params
     from ldm_tf2_tpu.configs import load_config
-    from ldm_tf2_tpu.data.dataset import create_dataset, list_tfrecords
+    from ldm_tf2_tpu.data.dataset import (
+        create_dataset,
+        list_tfrecords,
+        shard_for_process,
+    )
     from ldm_tf2_tpu.models import AutoencoderKL, AutoencoderVQ
     from ldm_tf2_tpu.parallel import (
         create_mesh,
@@ -67,7 +71,7 @@ def main(_):
     batch_size = params_cfg["batch_size"] * mesh.shape["data"]
     params_cfg["batch_size"] = batch_size
     dataset = create_dataset(
-        list_tfrecords(training["root_path"]),
+        shard_for_process(list_tfrecords(training["root_path"])),
         **params_cfg,
         random_seed=FLAGS.seed,
     )

@@ -27,7 +27,11 @@ def main(_):
     from ldm_tf2_tpu import factory
     from ldm_tf2_tpu.checkpoints.manager import CheckpointManager, load_params
     from ldm_tf2_tpu.configs import load_config
-    from ldm_tf2_tpu.data.dataset import create_dataset, list_tfrecords
+    from ldm_tf2_tpu.data.dataset import (
+        create_dataset,
+        list_tfrecords,
+        shard_for_process,
+    )
     from ldm_tf2_tpu.data.tokenizer import null_condition_ids
     from ldm_tf2_tpu.models import AutoencoderKL, AutoencoderVQ
     from ldm_tf2_tpu.parallel import (
@@ -56,7 +60,7 @@ def main(_):
     # Data.  batch_size in the config is per-device (the reference is
     # single-device so the numbers coincide at data=1); the global batch is
     # batch_size * |data axis|.
-    filenames = list_tfrecords(training["root_path"])
+    filenames = shard_for_process(list_tfrecords(training["root_path"]))
     params_cfg = dict(training["params"])
     batch_size = params_cfg["batch_size"] * mesh.shape["data"]
     params_cfg["batch_size"] = batch_size

@@ -269,3 +269,16 @@ def create_dataset(
 def list_tfrecords(root_path: str) -> list[str]:
     """Glob *.tfrecord under a directory (run_ldm_trainer.py:32-33)."""
     return sorted(glob.glob(os.path.join(root_path, "*.tfrecord")))
+
+
+def shard_for_process(filenames: Sequence[str]) -> list[str]:
+    """Multi-host data sharding: each JAX process reads a disjoint
+    round-robin subset of the shard files (the reference is single-process;
+    this is the standard per-host split for DCN-scale training).  Falls back
+    to all files when there are fewer files than processes."""
+    import jax
+
+    count, index = jax.process_count(), jax.process_index()
+    if count == 1 or len(filenames) < count:
+        return list(filenames)
+    return [f for i, f in enumerate(filenames) if i % count == index]

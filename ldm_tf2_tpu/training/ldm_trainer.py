@@ -96,7 +96,17 @@ def make_ldm_train_step(
         # Rematerialize the U-Net forward in the backward pass: trades
         # ~1/3 more FLOPs for dropping all intermediate activations from
         # HBM — the standard lever for larger per-chip batches at 256^2+.
-        unet_apply = jax.checkpoint(unet_apply, static_argnums=(5,))
+        # `training` must be a *positional* static arg for jax.checkpoint
+        # (it has static_argnums but no static_argnames), so adapt the
+        # keyword-style callable to a positional signature before wrapping.
+        base_unet_apply = unet_apply
+
+        def _unet_positional(params, xt, t, context, rngs, training):
+            return base_unet_apply(
+                params, xt, t, context, rngs, training=training
+            )
+
+        unet_apply = jax.checkpoint(_unet_positional, static_argnums=(5,))
 
     def loss_fn(trainable, frozen_cond, ae_params, images, token_ids, rng):
         unet_params = trainable["unet"]
@@ -137,7 +147,7 @@ def make_ldm_train_step(
             t.astype(jnp.float32),
             context,
             {"dropout": dropout_key},
-            training=True,
+            True,  # training — positional so jax.checkpoint can mark it static
         )
         # mean over spatial dims per example, then batch mean
         # (model_runners.py:705-706).

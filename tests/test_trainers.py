@@ -68,7 +68,7 @@ def tiny_ldm():
     return unet, cond, ae, unet_params, cond_params, ae_params
 
 
-def build_step(tiny_ldm, schedule, optimizer):
+def build_step(tiny_ldm, schedule, optimizer, **kwargs):
     unet, cond, ae, *_ = tiny_ldm
 
     def unet_apply(params, xt, t, ctx, rngs, training):
@@ -95,6 +95,7 @@ def build_step(tiny_ldm, schedule, optimizer):
         optimizer,
         condition_dropout_rate=0.1,
         null_token_ids=jnp.array([2, 3] + [0] * 6, jnp.int32),
+        **kwargs,
     )
 
 
@@ -123,6 +124,34 @@ def test_ldm_train_step_updates(tiny_ldm):
     c0 = jax.tree.leaves(cond_params)[0]
     c1 = jax.tree.leaves(state.cond_params)[0]
     np.testing.assert_array_equal(c0, c1)
+
+
+def test_ldm_train_step_remat_matches(tiny_ldm):
+    """remat_unet=True must run (regression: jax.checkpoint static_argnums
+    needs `training` positional) and produce the same loss/update as the
+    non-remat step — rematerialization changes memory, not math."""
+    _, _, _, unet_params, cond_params, ae_params = tiny_ldm
+    schedule = make_schedule(num_steps=100, num_ddim_steps=10)
+    optimizer = make_optimizer(learning_rate=1e-3)
+    step_plain = jax.jit(build_step(tiny_ldm, schedule, optimizer))
+    step_remat = jax.jit(
+        build_step(tiny_ldm, schedule, optimizer, remat_unet=True)
+    )
+
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, IMG, IMG, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 64)
+    rng = jax.random.PRNGKey(0)
+
+    state0 = init_ldm_train_state(unet_params, cond_params, optimizer)
+    state1, m1 = step_plain(state0, ae_params, images, ids, rng)
+    state2, m2 = step_remat(state0, ae_params, images, ids, rng)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+    )
+    l1 = jax.tree.leaves(state1.unet_params)[0]
+    l2 = jax.tree.leaves(state2.unet_params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
 
 
 def test_ldm_train_step_data_parallel_matches(tiny_ldm):

@@ -59,9 +59,14 @@ def main(_):
     scale_factor = config["ldm"]["scale_factor"]
 
     print("[INFO] Restoring pretrained checkpoints...")
-    cond_params = load_params(config["pre_ckpt_paths"]["cond_stage_model"])
-    unet_params = load_params(config["pre_ckpt_paths"]["unet"])
-    ae_params = load_params(config["pre_ckpt_paths"]["autoencoder"])
+    cond_params, unet_params, ae_params = factory.cast_inference_params(
+        config,
+        (
+            load_params(config["pre_ckpt_paths"]["cond_stage_model"]),
+            load_params(config["pre_ckpt_paths"]["unet"]),
+            load_params(config["pre_ckpt_paths"]["autoencoder"]),
+        ),
+    )
 
     tokenizer = load_tokenizer(sampling["vocab_dir"])
     shape = tuple(sampling["latent_shape"])

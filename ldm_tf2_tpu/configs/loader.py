@@ -31,6 +31,10 @@ _DTYPES = {
 _TPU_DEFAULTS: dict[str, Any] = {
     "mesh": {"data": -1},
     "compute_dtype": "bfloat16",
+    # Inference-only weight *storage* dtype: "bfloat16" halves the HBM
+    # weight traffic of the 0.87B U-Net per denoise step. null keeps the
+    # checkpoint's dtype (training always keeps float32 masters).
+    "weights_dtype": None,
     "attention_impl": "auto",
     "remat": False,
     "persist_per_iterations": None,
@@ -61,6 +65,11 @@ def load_config(path: str) -> dict:
         raise ValueError(
             f"tpu.compute_dtype must be one of {sorted(_DTYPES)}, got "
             f"{tpu['compute_dtype']!r}"
+        )
+    if tpu["weights_dtype"] is not None and tpu["weights_dtype"] not in _DTYPES:
+        raise ValueError(
+            f"tpu.weights_dtype must be null or one of {sorted(_DTYPES)}, "
+            f"got {tpu['weights_dtype']!r}"
         )
     if tpu["attention_impl"] not in ("auto", "xla", "flash"):
         raise ValueError(

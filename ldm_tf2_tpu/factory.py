@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from ldm_tf2_tpu.configs.loader import compute_dtype
@@ -22,6 +23,25 @@ from ldm_tf2_tpu.ops.attention import set_attention_impl
 
 def apply_tpu_settings(config: dict) -> None:
     set_attention_impl(config["tpu"]["attention_impl"])
+
+
+def cast_inference_params(config: dict, params: Any) -> Any:
+    """Cast float32 leaves of a restored param tree to tpu.weights_dtype.
+
+    Inference-only: bf16 weight storage halves per-step HBM weight traffic
+    (the 0.87B U-Net reads its full weights every denoise step of the scan).
+    No-op when tpu.weights_dtype is null.
+    """
+    name = config["tpu"].get("weights_dtype")
+    if name is None:
+        return params
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32
+        else a,
+        params,
+    )
 
 
 def build_cond_model(config: dict, dtype=None) -> TransformerModel:

@@ -247,6 +247,29 @@ def test_config_loader_validates(workspace):
     cfg = load_config(config_path)
     assert cfg["tpu"]["compute_dtype"] == "float32"
     assert cfg["tpu"]["attention_impl"] == "auto"
+    assert cfg["tpu"]["weights_dtype"] is None
+
+
+def test_cast_inference_params(workspace):
+    import jax.numpy as jnp
+
+    from ldm_tf2_tpu import factory
+    from ldm_tf2_tpu.configs import load_config
+
+    _, config_path = workspace
+    cfg = load_config(config_path)
+    tree = {
+        "w": jnp.zeros((2, 2), jnp.float32),
+        "ids": jnp.zeros((2,), jnp.int32),
+    }
+    # null weights_dtype: no-op
+    out = factory.cast_inference_params(cfg, tree)
+    assert out["w"].dtype == jnp.float32
+    # bfloat16: float32 leaves cast, integer leaves untouched
+    cfg["tpu"]["weights_dtype"] = "bfloat16"
+    out = factory.cast_inference_params(cfg, tree)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["ids"].dtype == jnp.int32
 
 
 def test_sampler_cli(workspace):

@@ -318,6 +318,65 @@ def test_ae_trainer_cli(workspace):
     assert (root / "aekl").exists()
 
 
+def test_ae_trainer_cli_vq(workspace):
+    """VQ-regularized AE training path (codebook loss + GAN from step 1,
+    matching the reference's aevq flow, model_runners.py:229-349)."""
+    from ldm_tf2_tpu.cli import run_autoencoder_trainer
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["autoencoder_training"]["autoencoder_type"] = "vq"
+    cfg["autoencoder_training"]["ckpt_path"] = str(root / "aevq")
+    vq_path = str(root / "config_vq_train.yaml")
+    with open(vq_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(
+        run_autoencoder_trainer,
+        ["run_autoencoder_trainer", f"--config_path={vq_path}"],
+    )
+    assert (root / "aevq").exists()
+
+
+def test_sampler_cli_vq(workspace):
+    """VQ decode path (force_quantize — the reference's version crashes,
+    autoencoder.py:431; ours is the fixed behavior) + bf16 weight cast."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_tf2_tpu import factory
+    from ldm_tf2_tpu.checkpoints.manager import save_params
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["ldm_sampling"]["autoencoder_type"] = "vq"
+    cfg["pre_ckpt_paths"]["autoencoder"] = str(root / "autoencoder-vq-1")
+    cfg["tpu"]["weights_dtype"] = "bfloat16"
+    vq_path = str(root / "config_vq_sample.yaml")
+    with open(vq_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    vq_cfg = load_config(vq_path)
+    ae = factory.build_autoencoder(vq_cfg, "vq", dtype=jnp.float32)
+    save_params(
+        vq_cfg["pre_ckpt_paths"]["autoencoder"],
+        ae.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)))["params"],
+    )
+
+    _run_cli(
+        run_ldm_sampler,
+        ["run_ldm_sampler", f"--config_path={vq_path}"],
+    )
+    images = np.load(root / "images.npy")
+    assert images.shape == (2, IMG, IMG, 3)
+    assert images.dtype == np.uint8
+
+
 def test_ldm_trainer_cli(workspace):
     from ldm_tf2_tpu.cli import run_ldm_trainer
 

@@ -44,6 +44,11 @@ def main(_):
     from ldm_tf2_tpu.diffusion.sampler import (
         ddim_sample_loop,
         ddim_sample_loop_progressive,
+        ddpm_sample_loop,
+    )
+    from ldm_tf2_tpu.diffusion.solvers import (
+        dpm_solver_pp_2m_sample_loop,
+        plms_sample_loop,
     )
     from ldm_tf2_tpu.models import AutoencoderKL, AutoencoderVQ
 
@@ -80,6 +85,26 @@ def main(_):
     )
     guidance_scale = float(sampling["guidance_scale"])
     save_progress = bool(sampling.get("sample_save_progress", False))
+    # Additive config key: the reference CLI only exposes DDIM
+    # (model_runners.py:474); we add ancestral DDPM and the higher-order
+    # PLMS / DPM-Solver++(2M) solvers (diffusion/solvers.py).
+    sample_loops = {
+        "ddim": ddim_sample_loop,
+        "ddpm": ddpm_sample_loop,
+        "plms": plms_sample_loop,
+        "dpm_solver_pp_2m": dpm_solver_pp_2m_sample_loop,
+    }
+    sampler_name = sampling.get("sampler", "ddim")
+    if sampler_name not in sample_loops:
+        raise ValueError(
+            f"ldm_sampling.sampler must be one of {sorted(sample_loops)}, "
+            f"got {sampler_name!r}"
+        )
+    if save_progress and sampler_name != "ddim":
+        raise ValueError(
+            "ldm_sampling.sample_save_progress only supports sampler: ddim"
+        )
+    sample_loop = sample_loops[sampler_name]
 
     def decode(ae_params, latents):
         latents = latents / scale_factor
@@ -126,7 +151,7 @@ def main(_):
         def pipeline(params, token_ids, key):
             cond_p, unet_p, ae_p = params
             context = cond_model.apply({"params": cond_p}, token_ids)
-            x0 = ddim_sample_loop(
+            x0 = sample_loop(
                 eps_model_of(unet_p), schedule, context, shape, key,
                 guidance_scale,
             )
@@ -135,7 +160,7 @@ def main(_):
     params = (cond_params, unet_params, ae_params)
     key = jax.random.PRNGKey(FLAGS.seed)
     print(
-        f"[INFO] Sampling: {schedule.num_ddim_steps} DDIM steps, "
+        f"[INFO] Sampling: {sampler_name}, {schedule.num_ddim_steps} steps, "
         f"eta {schedule.eta}, guidance {guidance_scale}..."
     )
     out = jax.jit(pipeline)(params, token_ids, key)

@@ -318,6 +318,28 @@ def test_ae_trainer_cli(workspace):
     assert (root / "aekl").exists()
 
 
+@pytest.mark.parametrize("sampler", ["plms", "dpm_solver_pp_2m", "ddpm"])
+def test_sampler_cli_solvers(workspace, sampler):
+    """The additive ldm_sampling.sampler key selects PLMS /
+    DPM-Solver++(2M) / ancestral DDPM (diffusion/solvers.py)."""
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["ldm_sampling"]["sampler"] = sampler
+    if sampler == "ddpm":
+        cfg["ldm"]["num_steps"] = 10  # full-T loop; keep the test fast
+    path = str(root / f"config_{sampler}.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(run_ldm_sampler, ["run_ldm_sampler", f"--config_path={path}"])
+    images = np.load(root / "images.npy")
+    assert images.shape == (2, IMG, IMG, 3)
+    assert images.dtype == np.uint8
+
+
 def test_ae_trainer_cli_vq(workspace):
     """VQ-regularized AE training path (codebook loss + GAN from step 1,
     matching the reference's aevq flow, model_runners.py:229-349)."""

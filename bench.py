@@ -120,7 +120,9 @@ def main():
     # `python bench.py highres` runs BASELINE config #5 (512^2, 64x64
     # latents, 200 DDIM steps, eta irrelevant for throughput).
     highres = len(sys.argv) > 1 and sys.argv[1] == "highres"
-    batch = int(os.environ.get("LDM_BENCH_BATCH", "4"))
+    # batch 16 is the measured throughput peak on v5e (4: 4.57, 8: 5.31,
+    # 16: 5.59, 32: 5.27 img/s at 256^2).
+    batch = int(os.environ.get("LDM_BENCH_BATCH", "16"))
     if highres:
         pipeline, params, token_ids = build_pipeline(
             batch=batch, latent=64, steps=200

@@ -32,6 +32,7 @@ from flax import linen as nn
 from ldm_tf2_tpu.models.distribution import DiagonalGaussian
 from ldm_tf2_tpu.models.quantize import VectorQuantizer
 from ldm_tf2_tpu.ops.attention import dot_product_attention
+from ldm_tf2_tpu.ops.group_norm import GroupNorm
 from ldm_tf2_tpu.ops.resize import nearest_upsample_2x
 
 GROUP_NORM_EPS = 1e-6
@@ -46,26 +47,24 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, time=None, *, training: bool = False):
-        h = nn.GroupNorm(
+        h = GroupNorm(
             num_groups=32, epsilon=GROUP_NORM_EPS, dtype=self.dtype,
-            name="group_norm1",
+            name="group_norm1", activation="silu",
         )(x)
         h = nn.Conv(
             self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv1"
-        )(nn.swish(h))
+        )(h)
 
         if time is not None:
             h = h + nn.Dense(self.channels, dtype=self.dtype, name="dense_time")(
                 nn.swish(time)
             )[:, None, None, :]
 
-        h = nn.GroupNorm(
+        h = GroupNorm(
             num_groups=32, epsilon=GROUP_NORM_EPS, dtype=self.dtype,
-            name="group_norm2",
+            name="group_norm2", activation="silu",
         )(h)
-        h = nn.Dropout(self.dropout_rate, deterministic=not training)(
-            nn.swish(h)
-        )
+        h = nn.Dropout(self.dropout_rate, deterministic=not training)(h)
         h = nn.Conv(
             self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2"
         )(h)
@@ -90,7 +89,7 @@ class AttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        y = nn.GroupNorm(
+        y = GroupNorm(
             num_groups=32, epsilon=GROUP_NORM_EPS, dtype=self.dtype,
             name="group_norm",
         )(x)
@@ -231,14 +230,14 @@ class Encoder(nn.Module):
             dtype=self.dtype,
             name="middle",
         )(x, training=training)
-        x = nn.GroupNorm(
+        x = GroupNorm(
             num_groups=32, epsilon=GROUP_NORM_EPS, dtype=self.dtype,
-            name="group_norm",
+            name="group_norm", activation="silu",
         )(x)
         x = nn.Conv(
             self.latent_channels, (3, 3), padding="SAME", dtype=self.dtype,
             name="conv_out",
-        )(nn.swish(x))
+        )(x)
         return x
 
 
@@ -284,14 +283,14 @@ class Decoder(nn.Module):
                     name=f"up_{idx}",
                 )(x)
                 idx += 1
-        x = nn.GroupNorm(
+        x = GroupNorm(
             num_groups=32, epsilon=GROUP_NORM_EPS, dtype=self.dtype,
-            name="group_norm",
+            name="group_norm", activation="silu",
         )(x)
         x = nn.Conv(
             self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
             name="conv_out",
-        )(nn.swish(x))
+        )(x)
         return x
 
 

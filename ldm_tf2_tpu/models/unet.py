@@ -34,6 +34,7 @@ from flax import linen as nn
 
 from ldm_tf2_tpu.models.transformer import Projection
 from ldm_tf2_tpu.ops.attention import dot_product_attention
+from ldm_tf2_tpu.ops.group_norm import GroupNorm
 from ldm_tf2_tpu.ops.resize import nearest_upsample_2x
 
 
@@ -113,23 +114,25 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_embedding, *, training: bool = False):
-        h = nn.GroupNorm(
-            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm_1"
+        h = GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm_1",
+            activation="silu",
         )(x)
         h = nn.Conv(
             self.channels, (3, 3), padding="SAME", dtype=self.dtype,
             name="conv2d_1",
-        )(nn.silu(h))
+        )(h)
 
         t = nn.Dense(self.channels, dtype=self.dtype, name="dense")(
             nn.silu(time_embedding)
         )
         h = h + t[:, None, None, :]
 
-        h = nn.GroupNorm(
-            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm_2"
+        h = GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm_2",
+            activation="silu",
         )(h)
-        h = nn.Dropout(self.dropout_rate, deterministic=not training)(nn.silu(h))
+        h = nn.Dropout(self.dropout_rate, deterministic=not training)(h)
         h = nn.Conv(
             self.channels, (3, 3), padding="SAME", dtype=self.dtype,
             name="conv2d_2",
@@ -280,7 +283,7 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, context=None, *, training: bool = False):
         b, h, w, c = x.shape
-        y = nn.GroupNorm(
+        y = GroupNorm(
             num_groups=32, epsilon=1e-6, dtype=self.dtype, name="group_norm"
         )(x)
         y = nn.Dense(
@@ -494,10 +497,11 @@ class UNet(nn.Module):
                 )(h, t, context, training=training)
                 idx += 1
 
-        h = nn.GroupNorm(
-            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm"
+        h = GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm",
+            activation="silu",
         )(h)
         return nn.Conv(
             self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
             name="conv_out",
-        )(nn.silu(h))
+        )(h)

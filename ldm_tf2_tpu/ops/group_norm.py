@@ -1,0 +1,250 @@
+"""Fused GroupNorm(+SiLU) — Pallas TPU kernel with XLA fallback.
+
+Motivation: profiling one CFG U-Net eval on v5e (tools/profile_pipeline.py)
+showed ~17% of device time in XLA's ``convert_reduce_fusion`` chains — the
+GroupNorm mean/variance passes with their bf16<->f32 converts.  This kernel
+does stats + normalize + affine + activation in one VMEM round trip: read x
+once, write y once.
+
+**Measured outcome (v5e, 256^2 U-Net eval, batch 32): the kernel itself is
+fast (~3.4 ms/eval for every GN in the U-Net) and removes the
+convert_reduce fusions (9.5 -> 2.3 ms/eval), but XLA was already fusing the
+normalize/affine/SiLU chain into the consuming convolution's input — so the
+kernel's explicit output materialization adds one full HBM pass per GN and
+the net is a ~6% regression (57 -> 61 ms/eval).**  ``"auto"`` therefore
+resolves to the XLA path; the kernel remains available via
+``set_groupnorm_impl("pallas")`` for shapes where a consumer fusion is not
+available (e.g. GN feeding a non-conv op).  Kept as the worked example of
+profile-driven kernel evaluation: measure, don't assume.
+
+Kernel notes:
+* Layout [B, HW, C]; grid (B,), one batch row per grid step (double-
+  buffered automatically).  All stats math is f32 in VMEM.
+* Per-group reduction without lane reshapes: reduce spatially to a [1, C]
+  vector, then aggregate channels->groups and broadcast groups->channels
+  with two tiny one-hot matmuls (M[c,g] = 1 iff c in group g) — MXU ops on
+  [C, G] data instead of Mosaic relayouts.
+* The group-count contract matches flax/Keras GroupNorm: channels are
+  split into ``num_groups`` contiguous blocks.
+* Backward: custom_vjp recomputes through the XLA reference (same math),
+  like ops/flash_attention.py.
+
+Dispatch: ``set_groupnorm_impl("auto"|"xla"|"pallas")``.  "auto" uses the
+kernel on TPU when the f32 working set fits VMEM (UNet-scale feature maps;
+the 256^2 autoencoder's 65536-token maps fall back to XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_IMPL = "auto"
+
+# f32 copy of one [HW, C] slab + bf16 in/out blocks must fit VMEM with
+# headroom; 6 MiB of f32 slab (~12 MiB total footprint) is safe on v5e.
+_VMEM_SLAB_LIMIT = 6 * 1024 * 1024
+
+
+def set_groupnorm_impl(impl: str) -> None:
+    global _IMPL
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown groupnorm impl: {impl!r}")
+    _IMPL = impl
+
+
+def get_groupnorm_impl() -> str:
+    return _IMPL
+
+
+def _xla_group_norm(x, gamma, beta, num_groups, eps, activate):
+    """Reference implementation (flax.linen.GroupNorm semantics: f32 stats
+    over (spatial..., channels-in-group), affine, optional SiLU)."""
+    b, *spatial, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(x.shape)
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if activate:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _gn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, num_groups, eps,
+               activate, group_size):
+    x = x_ref[0].astype(jnp.float32)  # [HW, C]
+    hw, c = x.shape
+
+    # one-hot channel->group membership [C, G], built from iota (f32 so the
+    # reductions ride the MXU)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    m = (ch // group_size == gr).astype(jnp.float32)
+
+    s1 = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)
+    g1 = jax.lax.dot_general(
+        s1, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [1, G]
+    g2 = jax.lax.dot_general(
+        s2, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    n = float(hw * group_size)
+    mean_g = g1 / n
+    var_g = g2 / n - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast groups -> channels: [1, G] @ M^T -> [1, C]
+    mean_c = jax.lax.dot_general(
+        mean_g, m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rstd_c = jax.lax.dot_general(
+        rstd_g, m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    gamma = gamma_ref[:].astype(jnp.float32)  # [1, C]
+    beta = beta_ref[:].astype(jnp.float32)
+    y = (x - mean_c) * (rstd_c * gamma) + beta
+    if activate:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _pallas_group_norm(x, gamma, beta, num_groups, eps, activate):
+    b, *spatial, c = x.shape
+    hw = 1
+    for s in spatial:
+        hw *= s
+    xr = x.reshape(b, hw, c)
+    gamma2 = gamma.reshape(1, c)
+    beta2 = beta.reshape(1, c)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_kernel,
+            num_groups=num_groups,
+            eps=eps,
+            activate=activate,
+            group_size=c // num_groups,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * hw * c,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=b * hw * c if activate else 0,
+        ),
+    )(xr, gamma2, beta2)
+    return out.reshape(x.shape)
+
+
+def _use_pallas(x) -> bool:
+    if _IMPL == "pallas":
+        return True
+    # "auto" resolves to XLA: measured slower end-to-end because XLA fuses
+    # the normalize/SiLU chain into the consuming conv (see module
+    # docstring).  Explicit "pallas" still honors shape constraints below.
+    if _IMPL in ("xla", "auto"):
+        return False
+    return False
+
+
+def _pallas_shape_ok(x) -> bool:
+    b, *spatial, c = x.shape
+    hw = 1
+    for s in spatial:
+        hw *= s
+    # sublane alignment; lanes may be any multiple of 8 (Mosaic pads the
+    # minor dim to 128 internally)
+    if c % 8 != 0 or hw % 8 != 0:
+        return False
+    c_padded = (c + 127) // 128 * 128
+    return hw * c_padded * 4 <= _VMEM_SLAB_LIMIT
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_group_norm(x, gamma, beta, num_groups, eps, activate):
+    return _pallas_group_norm(x, gamma, beta, num_groups, eps, activate)
+
+
+def _fused_fwd(x, gamma, beta, num_groups, eps, activate):
+    return (
+        _pallas_group_norm(x, gamma, beta, num_groups, eps, activate),
+        (x, gamma, beta),
+    )
+
+
+def _fused_bwd(num_groups, eps, activate, residuals, g):
+    x, gamma, beta = residuals
+    _, vjp = jax.vjp(
+        lambda x, gamma, beta: _xla_group_norm(
+            x, gamma, beta, num_groups, eps, activate
+        ),
+        x, gamma, beta,
+    )
+    return vjp(g)
+
+
+_fused_group_norm.defvjp(_fused_fwd, _fused_bwd)
+
+
+def group_norm(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    activate: bool = False,
+) -> jnp.ndarray:
+    """GroupNorm over [B, spatial..., C] with optional fused SiLU."""
+    if x.shape[-1] % num_groups != 0:
+        raise ValueError(
+            f"channels {x.shape[-1]} not divisible by groups {num_groups}"
+        )
+    if _use_pallas(x) and _pallas_shape_ok(x):
+        return _fused_group_norm(x, gamma, beta, num_groups, eps, activate)
+    return _xla_group_norm(x, gamma, beta, num_groups, eps, activate)
+
+
+class GroupNorm(nn.Module):
+    """Drop-in for ``flax.linen.GroupNorm`` (same param names/shapes —
+    ``scale``/``bias`` of [C] — so checkpoints are interchangeable) that
+    routes through the fused kernel and can absorb the SiLU that follows
+    every GN in the reference's residual blocks / output heads
+    (unet.py:382-391, autoencoder.py:13-58)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    activation: str | None = None  # None or "silu"
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(
+            x.astype(self.dtype),
+            scale,
+            bias,
+            num_groups=self.num_groups,
+            eps=self.epsilon,
+            activate=self.activation == "silu",
+        )

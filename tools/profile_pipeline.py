@@ -1,0 +1,92 @@
+"""Capture a device trace of the txt2img pipeline (or one CFG U-Net eval)
+and print a per-op time breakdown.
+
+  python tools/profile_pipeline.py [unet|pipeline] [outdir]
+
+Writes a jax.profiler trace (xplane + perfetto json) under outdir
+(default /tmp/ldm_trace) and, when the perfetto json is present, prints
+the top op groups by total device time.
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def build_unet_eval(batch=16, latent=32):
+    from ldm_tf2_tpu.models import UNet
+
+    dtype = jnp.bfloat16
+    unet = UNet(dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((2 * batch, latent, latent, 4), dtype)
+    t = jnp.zeros((2 * batch,), jnp.float32)
+    ctx = jnp.zeros((2 * batch, 77, 1280), dtype)
+    params = jax.jit(unet.init)(key, x, t, ctx)["params"]
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    fn = jax.jit(lambda p, x, t, c: unet.apply({"params": p}, x, t, c))
+    return fn, (params, x, t, ctx)
+
+
+def summarize_perfetto(trace_dir):
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    if not paths:
+        print(f"[profile] no perfetto trace under {trace_dir}")
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device slices: pid/tid named via metadata; aggregate complete events
+    names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            names[e["pid"]] = e["args"].get("name", "")
+    by_op = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = names.get(e.get("pid"), "")
+        if "TPU" not in pname and "device" not in pname.lower():
+            continue
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        name = e.get("name", "?")
+        # group fusions by leading op kind
+        key = name.split(".")[0].split("(")[0]
+        by_op[key] += dur
+        total += dur
+    print(f"[profile] {path}")
+    print(f"[profile] total device slice time: {total:.1f} ms")
+    for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {v:10.2f} ms  {100*v/max(total,1e-9):5.1f}%  {k}")
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "unet"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ldm_trace"
+    fn, args = build_unet_eval()
+    print("[profile] compiling...", flush=True)
+    out = fn(*args)
+    jax.block_until_ready(out)
+    print("[profile] tracing...", flush=True)
+    with jax.profiler.trace(outdir, create_perfetto_trace=True):
+        for _ in range(3):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        float(jnp.sum(out[0, 0, 0]))
+    summarize_perfetto(outdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,15 +6,17 @@ GroupNorm mean/variance passes with their bf16<->f32 converts.  This kernel
 does stats + normalize + affine + activation in one VMEM round trip: read x
 once, write y once.
 
-**Measured outcome (v5e, 256^2 U-Net eval, batch 32): the kernel itself is
-fast (~3.4 ms/eval for every GN in the U-Net) and removes the
-convert_reduce fusions (9.5 -> 2.3 ms/eval), but XLA was already fusing the
-normalize/affine/SiLU chain into the consuming convolution's input — so the
-kernel's explicit output materialization adds one full HBM pass per GN and
-the net is a ~6% regression (57 -> 61 ms/eval).**  ``"auto"`` therefore
-resolves to the XLA path; the kernel remains available via
-``set_groupnorm_impl("pallas")`` for shapes where a consumer fusion is not
-available (e.g. GN feeding a non-conv op).  Kept as the worked example of
+**Measured outcome (v5e, 256^2 U-Net eval, batch 32): both variants lose
+to XLA.**  The fully fused kernel is itself fast (~3.4 ms/eval for every
+GN in the U-Net) and removes the convert_reduce fusions (9.5 -> 2.3
+ms/eval), but materializing its output breaks XLA's normalize-into-conv
+consumer fusion: 57 -> 61 ms/eval.  A stats-only hybrid (Pallas one-pass
+mean/rstd + XLA normalize, intended to keep the consumer fusion) also
+regresses to ~60 ms/eval — with stats arriving from a Pallas call, XLA
+compiles the normalize chains as standalone fusions instead of folding
+them into the convolutions.  ``"auto"`` therefore resolves to the XLA
+path; ``set_groupnorm_impl("pallas"|"stats")`` remain as explicit opt-ins
+for shapes where no consumer fusion exists.  Kept as the worked example of
 profile-driven kernel evaluation: measure, don't assume.
 
 Kernel notes:
@@ -53,8 +55,11 @@ _VMEM_SLAB_LIMIT = 6 * 1024 * 1024
 
 
 def set_groupnorm_impl(impl: str) -> None:
+    """"auto": Pallas one-pass stats + XLA normalize on TPU (keeps the
+    consumer fusion), XLA elsewhere. "stats": force the hybrid (tests).
+    "pallas": fully fused kernel. "xla": reference path."""
     global _IMPL
-    if impl not in ("auto", "xla", "pallas"):
+    if impl not in ("auto", "xla", "pallas", "stats"):
         raise ValueError(f"unknown groupnorm impl: {impl!r}")
     _IMPL = impl
 
@@ -155,15 +160,126 @@ def _pallas_group_norm(x, gamma, beta, num_groups, eps, activate):
     return out.reshape(x.shape)
 
 
-def _use_pallas(x) -> bool:
-    if _IMPL == "pallas":
-        return True
-    # "auto" resolves to XLA: measured slower end-to-end because XLA fuses
-    # the normalize/SiLU chain into the consuming conv (see module
-    # docstring).  Explicit "pallas" still honors shape constraints below.
-    if _IMPL in ("xla", "auto"):
-        return False
-    return False
+def _gn_stats_kernel(x_ref, mean_ref, rstd_ref, s1_ref, s2_ref, *,
+                     num_groups, eps, group_size, n_total):
+    """Streaming one-pass stats: accumulate sum / sum-of-squares over
+    spatial blocks in VMEM scratch, emit per-channel mean/rstd on the last
+    block.  The normalize/affine/activation stays outside (XLA fuses it
+    into the consuming conv)."""
+    sb_idx = pl.program_id(1)
+    n_sb = pl.num_programs(1)
+
+    @pl.when(sb_idx == 0)
+    def _():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # [SB, C]
+    s1_ref[:] += jnp.sum(x, axis=0, keepdims=True)
+    s2_ref[:] += jnp.sum(x * x, axis=0, keepdims=True)
+
+    @pl.when(sb_idx == n_sb - 1)
+    def _():
+        c = x.shape[-1]
+        ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+        m = (ch // group_size == gr).astype(jnp.float32)
+        g1 = jax.lax.dot_general(
+            s1_ref[:], m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g2 = jax.lax.dot_general(
+            s2_ref[:], m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mean_g = g1 / n_total
+        var_g = g2 / n_total - mean_g * mean_g
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        mean_ref[0] = jax.lax.dot_general(
+            mean_g, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rstd_ref[0] = jax.lax.dot_general(
+            rstd_g, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _spatial_block(hw: int, c: int) -> int | None:
+    """Largest divisor of hw (multiple of 8) whose f32 slab fits VMEM."""
+    c_padded = (c + 127) // 128 * 128
+    max_rows = _VMEM_SLAB_LIMIT // (4 * c_padded)
+    if max_rows < 8:
+        return None
+    if hw <= max_rows:
+        return hw
+    sb = (max_rows // 8) * 8
+    while sb >= 8:
+        if hw % sb == 0:
+            return sb
+        sb -= 8
+    return None
+
+
+def _pallas_group_stats(x, num_groups, eps):
+    """[B, spatial..., C] -> per-channel (mean, rstd) of shape [B, C], f32,
+    with rstd = rsqrt(var + eps)."""
+    b, *spatial, c = x.shape
+    hw = 1
+    for s in spatial:
+        hw *= s
+    sb = _spatial_block(hw, c)
+    xr = x.reshape(b, hw, c)
+    group_size = c // num_groups
+
+    mean, rstd = pl.pallas_call(
+        functools.partial(
+            _gn_stats_kernel,
+            num_groups=num_groups,
+            eps=eps,
+            group_size=group_size,
+            n_total=float(hw * group_size),
+        ),
+        grid=(b, hw // sb),
+        in_specs=[
+            pl.BlockSpec((1, sb, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * hw * c,
+            bytes_accessed=x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xr)
+    return mean.reshape(b, c), rstd.reshape(b, c)
+
+
+def _stats_hybrid_group_norm(x, gamma, beta, num_groups, eps, activate):
+    """Pallas one-pass stats + XLA normalize (consumer-fusable)."""
+    b, *spatial, c = x.shape
+    mean, rstd = _pallas_group_stats(x, num_groups, eps)
+    shape = (b,) + (1,) * len(spatial) + (c,)
+    xf = x.astype(jnp.float32)
+    y = (xf - mean.reshape(shape)) * (
+        rstd.reshape(shape) * gamma.astype(jnp.float32)
+    ) + beta.astype(jnp.float32)
+    if activate:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
 
 
 def _pallas_shape_ok(x) -> bool:
@@ -179,30 +295,46 @@ def _pallas_shape_ok(x) -> bool:
     return hw * c_padded * 4 <= _VMEM_SLAB_LIMIT
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_group_norm(x, gamma, beta, num_groups, eps, activate):
-    return _pallas_group_norm(x, gamma, beta, num_groups, eps, activate)
+def _stats_shape_ok(x) -> bool:
+    b, *spatial, c = x.shape
+    hw = 1
+    for s in spatial:
+        hw *= s
+    if c % 8 != 0 or hw % 8 != 0:
+        return False
+    return _spatial_block(hw, c) is not None
 
 
-def _fused_fwd(x, gamma, beta, num_groups, eps, activate):
-    return (
-        _pallas_group_norm(x, gamma, beta, num_groups, eps, activate),
-        (x, gamma, beta),
-    )
+def _make_custom_vjp(forward_impl):
+    """custom_vjp wrapper: given forward impl, backward recomputes through
+    the XLA reference (mathematically the same function)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+    def fn(x, gamma, beta, num_groups, eps, activate):
+        return forward_impl(x, gamma, beta, num_groups, eps, activate)
+
+    def fwd(x, gamma, beta, num_groups, eps, activate):
+        return (
+            forward_impl(x, gamma, beta, num_groups, eps, activate),
+            (x, gamma, beta),
+        )
+
+    def bwd(num_groups, eps, activate, residuals, g):
+        x, gamma, beta = residuals
+        _, vjp = jax.vjp(
+            lambda x, gamma, beta: _xla_group_norm(
+                x, gamma, beta, num_groups, eps, activate
+            ),
+            x, gamma, beta,
+        )
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
 
 
-def _fused_bwd(num_groups, eps, activate, residuals, g):
-    x, gamma, beta = residuals
-    _, vjp = jax.vjp(
-        lambda x, gamma, beta: _xla_group_norm(
-            x, gamma, beta, num_groups, eps, activate
-        ),
-        x, gamma, beta,
-    )
-    return vjp(g)
-
-
-_fused_group_norm.defvjp(_fused_fwd, _fused_bwd)
+_fused_group_norm = _make_custom_vjp(_pallas_group_norm)
+_hybrid_group_norm = _make_custom_vjp(_stats_hybrid_group_norm)
 
 
 def group_norm(
@@ -218,8 +350,14 @@ def group_norm(
         raise ValueError(
             f"channels {x.shape[-1]} not divisible by groups {num_groups}"
         )
-    if _use_pallas(x) and _pallas_shape_ok(x):
+    # "auto" resolves to XLA — both kernels measured slower end-to-end on
+    # v5e because they break XLA's normalize-into-conv consumer fusion
+    # (57 ms/eval XLA vs 61 fused-pallas vs 60 stats-hybrid; see module
+    # docstring).  They remain available as explicit opt-ins.
+    if _IMPL == "pallas" and _pallas_shape_ok(x):
         return _fused_group_norm(x, gamma, beta, num_groups, eps, activate)
+    if _IMPL == "stats" and _stats_shape_ok(x):
+        return _hybrid_group_norm(x, gamma, beta, num_groups, eps, activate)
     return _xla_group_norm(x, gamma, beta, num_groups, eps, activate)
 
 

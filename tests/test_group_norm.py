@@ -96,6 +96,27 @@ def test_gradients_match_xla():
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "b,hw,c,groups,activate",
+    [
+        (2, 64, 128, 32, True),        # single spatial block
+        (1, 16384, 512, 32, False),    # forces streaming spatial blocks
+        (2, 1024, 320, 32, True),      # non-128-multiple channels
+    ],
+)
+def test_stats_hybrid_matches_xla(b, hw, c, groups, activate):
+    from ldm_tf2_tpu.ops.group_norm import _stats_hybrid_group_norm
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (b, hw, 1, c), jnp.float32)
+    gamma = jax.random.normal(jax.random.PRNGKey(7), (c,)) * 0.1 + 1.0
+    beta = jax.random.normal(jax.random.PRNGKey(8), (c,)) * 0.1
+
+    expected = _xla_group_norm(x, gamma, beta, groups, 1e-5, activate)
+    with pltpu.force_tpu_interpret_mode():
+        got = _stats_hybrid_group_norm(x, gamma, beta, groups, 1e-5, activate)
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+
 def test_channels_not_divisible_raises():
     x = jnp.zeros((1, 4, 4, 100))
     with pytest.raises(ValueError):

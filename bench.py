@@ -144,6 +144,16 @@ def main():
     t0 = time.perf_counter()
     run(key)
     print(f"[bench] warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+    # Discard batch: the first BURST of async dispatches after compile
+    # carries a one-time warm-up cost on the tunneled runtime (measured
+    # ~0.9 s once, independent of program); absorb it outside the timed
+    # window using the same async-dispatch pattern as the timed section.
+    _discard = [
+        pipeline(params, token_ids, jax.random.fold_in(key, 1000 + i))
+        for i in range(2)
+    ]
+    for out in _discard:
+        float(jnp.sum(out[0, 0, 0]))
 
     # Throughput: dispatch all runs asynchronously, then force one host
     # round-trip per output AFTER dispatch. The device executes the queued

@@ -43,6 +43,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pick_blocks(sp: int) -> tuple[int, int]:
+    """Largest (block_q, block_k) whose VMEM working set fits.
+
+    Block-size sweep on v5e (tools/bench_flash.py): 1024/1024 is ~30-35%
+    faster than 512/512 at 1024-4096 tokens with sp=128 (fewer grid steps,
+    fewer KV re-reads: KV HBM traffic scales with q_len/block_q); at
+    sp=512 the same blocks overflow VMEM (remote compile failure), and
+    1024/512 is the measured best that fits.  Working-set model:
+    (block_q + 2*block_k) * sp * 8 bytes [f32 q+acc, f32 k+v, double
+    buffering] against a ~9 MiB budget.
+    """
+    budget = 9 * 1024 * 1024
+    for bq, bk in ((1024, 1024), (1024, 512), (512, 512), (512, 256),
+                   (256, 256), (256, 128), (128, 128)):
+        if (bq + 2 * bk) * sp * 8 <= budget:
+            return bq, bk
+    return 128, 128
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len,
     block_k,
@@ -85,7 +104,7 @@ def _flash_kernel(
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, scale):
+def _flash_forward(q, k, v, scale, block_q=None, block_k=None):
     b, q_len, h, s = q.shape
     kv_len = k.shape[1]
     # Head dim IS explicitly padded to the 128 lane width: measured ~18%
@@ -93,8 +112,10 @@ def _flash_forward(q, k, v, scale):
     # 6.1 ms for [32,1024,8,40] bf16 on v5e), i.e. the one extra HBM pass
     # of jnp.pad is cheaper than implicit lane masking in the inner loop.
     sp = _round_up(s, _LANE)
-    block_q = min(512, _round_up(q_len, 8))
-    block_k = min(512, _round_up(kv_len, _LANE))
+    if block_q is None or block_k is None:
+        auto_q, auto_k = _pick_blocks(sp)
+        block_q = block_q or min(auto_q, _round_up(q_len, 8))
+        block_k = block_k or min(auto_k, _round_up(kv_len, _LANE))
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
 

@@ -125,6 +125,10 @@ def main(_):
     null_ids = jnp.asarray(
         null_condition_ids(1, config["cond_stage_model"]["max_seq_len"])[0]
     )
+    # Additive config key (beyond reference): ldm_training.ema_decay keeps
+    # an EMA of the trainable params in the checkpointed state — the
+    # weights normally used for diffusion sampling.
+    ema_decay = training.get("ema_decay")
     train_step = jax.jit(
         make_ldm_train_step(
             unet_apply,
@@ -137,6 +141,7 @@ def main(_):
             train_cond_model=training["train_cond_model"],
             null_token_ids=null_ids,
             remat_unet=bool(tpu_cfg.get("remat", False)),
+            ema_decay=ema_decay,
         ),
         donate_argnums=(0,),
     )
@@ -144,6 +149,7 @@ def main(_):
     state = init_ldm_train_state(
         unet_params, cond_params, optimizer,
         train_cond_model=training["train_cond_model"],
+        ema_decay=ema_decay,
     )
     state = replicate(state, mesh)
     ae_params = replicate(ae_params, mesh)

@@ -39,13 +39,16 @@ class LDMTrainState:
 
     ``unet_params`` always trains; ``cond_params`` trains only when the step
     was built with train_cond_model=True (otherwise it is frozen inside
-    `frozen`).
+    `frozen`).  ``ema_params`` (beyond-reference) mirrors the trainable
+    tree as an exponential moving average when the step was built with
+    ema_decay — the standard weights actually used for diffusion sampling.
     """
 
     step: jnp.ndarray
     unet_params: Any
     cond_params: Any
     opt_state: Any
+    ema_params: Any = None
 
 
 def make_optimizer(
@@ -74,6 +77,7 @@ def make_ldm_train_step(
     train_cond_model: bool = False,
     null_token_ids: jnp.ndarray | None = None,
     remat_unet: bool = False,
+    ema_decay: float | None = None,
 ):
     """Build the jitted LDM train step.
 
@@ -166,6 +170,14 @@ def make_ldm_train_step(
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
 
+        ema_params = state.ema_params
+        if ema_decay is not None:
+            ema_params = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema_params,
+                new_trainable,
+            )
+
         new_state = state.replace(
             step=state.step + 1,
             unet_params=new_trainable["unet"],
@@ -173,6 +185,7 @@ def make_ldm_train_step(
                 new_trainable["cond"] if train_cond_model else state.cond_params
             ),
             opt_state=opt_state,
+            ema_params=ema_params,
         )
         return new_state, {"loss": loss}
 
@@ -180,7 +193,11 @@ def make_ldm_train_step(
 
 
 def init_ldm_train_state(
-    unet_params, cond_params, optimizer, train_cond_model: bool = False
+    unet_params,
+    cond_params,
+    optimizer,
+    train_cond_model: bool = False,
+    ema_decay: float | None = None,
 ) -> LDMTrainState:
     trainable = {"unet": unet_params}
     if train_cond_model:
@@ -190,4 +207,7 @@ def init_ldm_train_state(
         unet_params=unet_params,
         cond_params=cond_params,
         opt_state=optimizer.init(trainable),
+        ema_params=(
+            jax.tree.map(jnp.copy, trainable) if ema_decay is not None else None
+        ),
     )

@@ -126,6 +126,41 @@ def test_ldm_train_step_updates(tiny_ldm):
     np.testing.assert_array_equal(c0, c1)
 
 
+def test_ldm_train_step_ema(tiny_ldm):
+    """ema_decay keeps an EMA of the trainable tree: after one step
+    ema == decay * init + (1-decay) * new params, and it trails the live
+    params thereafter."""
+    _, _, _, unet_params, cond_params, ae_params = tiny_ldm
+    schedule = make_schedule(num_steps=100, num_ddim_steps=10)
+    optimizer = make_optimizer(learning_rate=1e-3)
+    decay = 0.9
+    step_fn = jax.jit(
+        build_step(tiny_ldm, schedule, optimizer, ema_decay=decay)
+    )
+
+    state = init_ldm_train_state(
+        unet_params, cond_params, optimizer, ema_decay=decay
+    )
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, IMG, IMG, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 64)
+
+    state1, _ = step_fn(state, ae_params, images, ids, jax.random.PRNGKey(0))
+    leaf = lambda t: np.asarray(jax.tree.leaves(t)[0])
+    expected = decay * leaf(unet_params) + (1 - decay) * leaf(
+        state1.unet_params
+    )
+    np.testing.assert_allclose(
+        leaf(state1.ema_params["unet"]), expected, rtol=1e-6, atol=1e-7
+    )
+
+    state2, _ = step_fn(state1, ae_params, images, ids, jax.random.PRNGKey(0))
+    # EMA trails the live params (moved, but not equal to either endpoint)
+    assert not np.allclose(leaf(state2.ema_params["unet"]), leaf(unet_params))
+    assert not np.allclose(
+        leaf(state2.ema_params["unet"]), leaf(state2.unet_params)
+    )
+
+
 def test_ldm_train_step_remat_matches(tiny_ldm):
     """remat_unet=True must run (regression: jax.checkpoint static_argnums
     needs `training` positional) and produce the same loss/update as the

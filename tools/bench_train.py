@@ -23,7 +23,7 @@ def sync(x):
     return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
 
 
-def bench_ldm(batch=8, image=256, remat=True):
+def bench_ldm(batch=8, image=256, remat=None):
     from ldm_tf2_tpu.diffusion import make_schedule
     from ldm_tf2_tpu.models import AutoencoderKL, TransformerModel, UNet
     from ldm_tf2_tpu.training.ldm_trainer import (
@@ -46,12 +46,13 @@ def bench_ldm(batch=8, image=256, remat=True):
     key = jax.random.PRNGKey(0)
     latent = image // 8
     print("[bench_train] init params...", flush=True)
-    unet_params = unet.init(
+    # jitted inits: eager init over the tunneled device takes ~7 minutes
+    unet_params = jax.jit(unet.init)(
         key, jnp.zeros((1, latent, latent, 4)), jnp.zeros((1,)),
         jnp.zeros((1, 77, 1280)),
     )["params"]
-    cond_params = cond.init(key, jnp.zeros((1, 77), jnp.int32))["params"]
-    ae_params = ae.init(
+    cond_params = jax.jit(cond.init)(key, jnp.zeros((1, 77), jnp.int32))["params"]
+    ae_params = jax.jit(ae.init)(
         {"params": key, "sample": key}, jnp.zeros((1, image, image, 3))
     )["params"]
 
@@ -104,4 +105,5 @@ def bench_ldm(batch=8, image=256, remat=True):
 
 
 if __name__ == "__main__":
-    bench_ldm()
+    remat_env = os.environ.get("LDM_BENCH_REMAT")
+    bench_ldm(remat=remat_env != "0" if remat_env is not None else True)

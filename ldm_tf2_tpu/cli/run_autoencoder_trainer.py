@@ -70,11 +70,24 @@ def main(_):
     params_cfg = dict(training["params"])
     batch_size = params_cfg["batch_size"] * mesh.shape["data"]
     params_cfg["batch_size"] = batch_size
-    dataset = create_dataset(
-        shard_for_process(list_tfrecords(training["root_path"])),
-        **params_cfg,
-        random_seed=FLAGS.seed,
-    )
+    filenames = shard_for_process(list_tfrecords(training["root_path"]))
+
+    def make_dataset(start_step: int):
+        """Built after checkpoint restore; tpu.deterministic_data selects
+        the resumable indexed loader (data/indexed.py)."""
+        if tpu_cfg.get("deterministic_data"):
+            from ldm_tf2_tpu.data.indexed import create_indexed_dataset
+
+            return create_indexed_dataset(
+                filenames,
+                **params_cfg,
+                random_seed=FLAGS.seed,
+                start_step=start_step,
+            )
+        return create_dataset(
+            filenames, **params_cfg, random_seed=FLAGS.seed
+        )
+
     image_size = params_cfg["image_size"]
 
     key = jax.random.PRNGKey(FLAGS.seed)
@@ -166,7 +179,9 @@ def main(_):
         step0, state = restored
         print(f"[INFO] Restored checkpoint at step {step0}...")
     else:
+        step0 = 0
         print("[INFO] Training from scratch...")
+    dataset = make_dataset(step0)
 
     gan_from = trainer_cfg["global_step_discriminator"]
     persist_every = tpu_cfg["persist_per_iterations"] or 5000

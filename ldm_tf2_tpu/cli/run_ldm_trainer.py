@@ -64,12 +64,27 @@ def main(_):
     params_cfg = dict(training["params"])
     batch_size = params_cfg["batch_size"] * mesh.shape["data"]
     params_cfg["batch_size"] = batch_size
-    dataset = create_dataset(
-        filenames,
-        **params_cfg,
-        max_seq_len=config["cond_stage_model"]["max_seq_len"],
-        random_seed=FLAGS.seed,
-    )
+
+    def make_dataset(start_step: int):
+        """Built after checkpoint restore: with tpu.deterministic_data the
+        indexed loader resumes mid-epoch on exactly the batches a fresh
+        run would have produced at `start_step` (data/indexed.py)."""
+        if tpu_cfg.get("deterministic_data"):
+            from ldm_tf2_tpu.data.indexed import create_indexed_dataset
+
+            return create_indexed_dataset(
+                filenames,
+                **params_cfg,
+                max_seq_len=config["cond_stage_model"]["max_seq_len"],
+                random_seed=FLAGS.seed,
+                start_step=start_step,
+            )
+        return create_dataset(
+            filenames,
+            **params_cfg,
+            max_seq_len=config["cond_stage_model"]["max_seq_len"],
+            random_seed=FLAGS.seed,
+        )
 
     # Models
     unet = factory.build_unet(config)
@@ -163,7 +178,9 @@ def main(_):
         step0, state = restored
         print(f"[INFO] Restored checkpoint at step {step0}...")
     else:
+        step0 = 0
         print("[INFO] Training from scratch...")
+    dataset = make_dataset(step0)
 
     persist_every = tpu_cfg["persist_per_iterations"] or 1000
     logger = MetricLogger(log_per_iterations=tpu_cfg["log_per_iterations"])

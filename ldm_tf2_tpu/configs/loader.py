@@ -37,6 +37,11 @@ _TPU_DEFAULTS: dict[str, Any] = {
     "weights_dtype": None,
     "attention_impl": "auto",
     "remat": False,
+    # Resumable index-based input pipeline (data/indexed.py): batch at
+    # step s is a pure function of (seed, s), so restarts resume mid-epoch
+    # deterministically. Off by default (the streaming loader mirrors the
+    # reference's shuffle-buffer semantics).
+    "deterministic_data": False,
     "persist_per_iterations": None,
     "log_per_iterations": 100,
 }

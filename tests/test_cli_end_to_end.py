@@ -409,3 +409,35 @@ def test_ldm_trainer_cli(workspace):
         ["run_ldm_trainer", f"--config_path={config_path}"],
     )
     assert (root / "ldm").exists()
+
+
+def test_ldm_trainer_cli_deterministic_data_and_ema(workspace):
+    """tpu.deterministic_data routes through the indexed resumable loader;
+    ldm_training.ema_decay carries EMA params in the checkpointed state."""
+    from ldm_tf2_tpu.cli import run_ldm_trainer
+
+    root, config_path = workspace
+    os.chdir(root)
+    # the indexed loader needs >= one global batch (2 per device x 8
+    # virtual devices) of records per epoch; build a bigger captions dir
+    big_dir = root / "images_captions_big"
+    big_dir.mkdir(exist_ok=True)
+    with TFRecordWriter(str(big_dir / "data.tfrecord")) as w:
+        for rep in range(4):
+            for p in sorted((root / "raw").glob("*.jpg")):
+                with open(p, "rb") as f:
+                    img_bytes = f.read()
+                w.write(encode_example(
+                    {"image": img_bytes, "caption": [102, 104, 105, 106] + [0] * 4}
+                ))
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["tpu"]["deterministic_data"] = True
+    cfg["ldm_training"]["ema_decay"] = 0.99
+    cfg["ldm_training"]["root_path"] = str(big_dir)
+    cfg["ldm_training"]["ckpt_path"] = str(root / "ldm_det")
+    path = str(root / "config_det.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(run_ldm_trainer, ["run_ldm_trainer", f"--config_path={path}"])
+    assert (root / "ldm_det").exists()

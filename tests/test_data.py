@@ -153,3 +153,56 @@ def test_tokenizer_null_condition():
     ids = null_condition_ids(3, max_length=8)
     assert ids.shape == (3, 8)
     np.testing.assert_array_equal(ids[0], [101, 102, 0, 0, 0, 0, 0, 0])
+
+
+def test_indexed_dataset_deterministic_resume(tmp_path):
+    """data/indexed.py: the batch at step s is a pure function of
+    (seed, s) — an iterator started at step k reproduces a fresh run's
+    batches bitwise (SURVEY §5 deterministic resume)."""
+    from ldm_tf2_tpu.data.indexed import build_index, create_indexed_dataset
+    from ldm_tf2_tpu.data.tfrecord import TFRecordWriter
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    records_dir = tmp_path / "records"
+    records_dir.mkdir()
+    # unique caption id per record to identify samples
+    n = 8
+    with TFRecordWriter(str(records_dir / "a.tfrecord")) as wa, \
+         TFRecordWriter(str(records_dir / "b.tfrecord")) as wb:
+        for i in range(n):
+            p = str(img_dir / f"{i}.jpg")
+            _write_jpeg(p, size=(18 + i, 24), color=(i * 30 % 256, 10, 10))
+            with open(p, "rb") as f:
+                img = f.read()
+            rec = encode_example({"image": img, "caption": [100 + i, 0, 0]})
+            (wa if i % 2 == 0 else wb).write(rec)
+
+    files = sorted(str(p) for p in records_dir.glob("*.tfrecord"))
+    index = build_index(files)
+    assert len(index) == n
+
+    kwargs = dict(
+        batch_size=2, image_size=16, keys=("image", "caption"),
+        flip=True, max_seq_len=3, random_seed=7,
+    )
+    it_a = create_indexed_dataset(files, **kwargs)
+    run_a = [next(it_a) for _ in range(8)]  # 2 full epochs (4 steps each)
+
+    # resume at step 3 reproduces the fresh run exactly (incl. flips)
+    it_b = create_indexed_dataset(files, start_step=3, **kwargs)
+    for s in range(3, 8):
+        imgs_b, caps_b = next(it_b)
+        np.testing.assert_array_equal(imgs_b, run_a[s][0])
+        np.testing.assert_array_equal(caps_b, run_a[s][1])
+
+    # every record appears exactly once per epoch
+    for epoch in range(2):
+        ids = np.concatenate(
+            [run_a[epoch * 4 + s][1][:, 0] for s in range(4)]
+        )
+        assert sorted(ids.tolist()) == [100 + i for i in range(n)]
+    # epochs are shuffled differently
+    e0 = np.concatenate([run_a[s][1][:, 0] for s in range(4)])
+    e1 = np.concatenate([run_a[4 + s][1][:, 0] for s in range(4)])
+    assert not np.array_equal(e0, e1)

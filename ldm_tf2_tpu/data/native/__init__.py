@@ -89,8 +89,18 @@ def _load():
         return _lib
 
 
+_enabled = True
+
+
+def set_enabled(flag: bool) -> None:
+    """Force the pure-Python fallback when False (A/B benchmarking,
+    tools/bench_loader.py)."""
+    global _enabled
+    _enabled = bool(flag)
+
+
 def available() -> bool:
-    return _load() is not None
+    return _enabled and _load() is not None
 
 
 def crc32c(data: bytes) -> int:

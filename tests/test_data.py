@@ -206,3 +206,60 @@ def test_indexed_dataset_deterministic_resume(tmp_path):
     e0 = np.concatenate([run_a[s][1][:, 0] for s in range(4)])
     e1 = np.concatenate([run_a[4 + s][1][:, 0] for s in range(4)])
     assert not np.array_equal(e0, e1)
+
+
+def test_convert_coco_captions_to_tfrecord(tmp_path):
+    """COCO annotations -> sharded TFRecords with pre-tokenized captions
+    (reference dataset.py:43-82), loadable by create_dataset."""
+    import json
+
+    from ldm_tf2_tpu.data.dataset import (
+        convert_coco_captions_to_tfrecord,
+        create_dataset,
+        list_tfrecords,
+    )
+    from ldm_tf2_tpu.data.tokenizer import load_tokenizer
+
+    vocab = (
+        ["[PAD]"] + [f"[unused{i}]" for i in range(99)]
+        + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        + ["a", "cat", "dog", "on", "mat"]
+    )
+    vocab_dir = tmp_path / "bert_model"
+    vocab_dir.mkdir()
+    (vocab_dir / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    tokenizer = load_tokenizer(str(vocab_dir))
+
+    part = "train2017"
+    (tmp_path / part).mkdir()
+    (tmp_path / "annotations").mkdir()
+    images, anns = [], []
+    for i in range(4):
+        name = f"img{i}.jpg"
+        _write_jpeg(str(tmp_path / part / name), size=(20, 24))
+        images.append({"id": i, "file_name": name})
+        anns.append(
+            {"image_id": i, "caption": "a cat on mat" if i % 2 else "a dog"}
+        )
+    ann_file = "captions_train2017.json"
+    with open(tmp_path / "annotations" / ann_file, "w") as f:
+        json.dump({"images": images, "annotations": anns}, f)
+
+    out = str(tmp_path / "records")
+    convert_coco_captions_to_tfrecord(
+        str(tmp_path), part, ann_file, tokenizer, out, max_length=8,
+        num_shards=2,
+    )
+    files = list_tfrecords(out)
+    assert len(files) == 2
+
+    it = create_dataset(
+        files, batch_size=2, image_size=16, keys=("image", "caption"),
+        max_seq_len=8, random_seed=0,
+    )
+    imgs, caps = next(it)
+    assert imgs.shape == (2, 16, 16, 3)
+    assert caps.shape == (2, 8)
+    # captions start with [CLS] (id 101) and contain real token ids
+    assert set(caps[:, 0].tolist()) == {101}
+    assert caps.max() > 101

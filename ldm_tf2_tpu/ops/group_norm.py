@@ -59,7 +59,7 @@ def set_groupnorm_impl(impl: str) -> None:
     consumer fusion), XLA elsewhere. "stats": force the hybrid (tests).
     "pallas": fully fused kernel. "xla": reference path."""
     global _IMPL
-    if impl not in ("auto", "xla", "pallas", "stats"):
+    if impl not in ("auto", "xla", "pallas", "stats", "mxu"):
         raise ValueError(f"unknown groupnorm impl: {impl!r}")
     _IMPL = impl
 
@@ -268,6 +268,44 @@ def _pallas_group_stats(x, num_groups, eps):
     return mean.reshape(b, c), rstd.reshape(b, c)
 
 
+def _mxu_stats_group_norm(x, gamma, beta, num_groups, eps, activate):
+    """GroupNorm with stats computed as einsums against the one-hot
+    channel->group matrix: the sums ride the MXU as [HW,C]x[C,G] dots
+    (~1.3 GFLOP per U-Net eval — negligible) instead of XLA's VPU
+    convert+reduce chains (~11 ms/eval measured), while staying plain XLA
+    so the normalize/affine/SiLU chain still fuses into the consuming
+    conv.  Pure function — differentiable without a custom vjp."""
+    b, *spatial, c = x.shape
+    group_size = c // num_groups
+    hw = 1
+    for s in spatial:
+        hw *= s
+    xf = x.astype(jnp.float32).reshape(b, hw, c)
+    m = (
+        jnp.arange(c)[:, None] // group_size
+        == jnp.arange(num_groups)[None, :]
+    ).astype(jnp.float32)
+
+    n = float(hw * group_size)
+    s1 = jnp.einsum("bhc,cg->bg", xf, m, preferred_element_type=jnp.float32)
+    s2 = jnp.einsum(
+        "bhc,cg->bg", xf * xf, m, preferred_element_type=jnp.float32
+    )
+    mean_g = s1 / n
+    var_g = jnp.maximum(s2 / n - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, group_size, axis=-1)  # [B, C]
+    rstd_c = jnp.repeat(rstd_g, group_size, axis=-1)
+
+    shape = (b,) + (1,) * len(spatial) + (c,)
+    y = (x.astype(jnp.float32) - mean_c.reshape(shape)) * (
+        rstd_c.reshape(shape) * gamma.astype(jnp.float32)
+    ) + beta.astype(jnp.float32)
+    if activate:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
 def _stats_hybrid_group_norm(x, gamma, beta, num_groups, eps, activate):
     """Pallas one-pass stats + XLA normalize (consumer-fusable)."""
     b, *spatial, c = x.shape
@@ -350,14 +388,16 @@ def group_norm(
         raise ValueError(
             f"channels {x.shape[-1]} not divisible by groups {num_groups}"
         )
-    # "auto" resolves to XLA — both kernels measured slower end-to-end on
-    # v5e because they break XLA's normalize-into-conv consumer fusion
-    # (57 ms/eval XLA vs 61 fused-pallas vs 60 stats-hybrid; see module
-    # docstring).  They remain available as explicit opt-ins.
+    # Both Pallas kernels measured slower end-to-end on v5e because they
+    # break XLA's normalize-into-conv consumer fusion (see module
+    # docstring); they remain available as explicit opt-ins.  "auto" uses
+    # the MXU-stats variant (einsum reductions, plain XLA, fusion kept).
     if _IMPL == "pallas" and _pallas_shape_ok(x):
         return _fused_group_norm(x, gamma, beta, num_groups, eps, activate)
     if _IMPL == "stats" and _stats_shape_ok(x):
         return _hybrid_group_norm(x, gamma, beta, num_groups, eps, activate)
+    if _IMPL in ("auto", "mxu"):
+        return _mxu_stats_group_norm(x, gamma, beta, num_groups, eps, activate)
     return _xla_group_norm(x, gamma, beta, num_groups, eps, activate)
 
 

@@ -121,3 +121,22 @@ def test_channels_not_divisible_raises():
     x = jnp.zeros((1, 4, 4, 100))
     with pytest.raises(ValueError):
         group_norm(x, jnp.ones((100,)), jnp.zeros((100,)), num_groups=32)
+
+
+def test_mxu_stats_variant_matches_flax():
+    """The einsum-stats GroupNorm (default on 'auto') must match
+    flax.linen.GroupNorm numerics."""
+    from ldm_tf2_tpu.ops.group_norm import _mxu_stats_group_norm
+
+    for c, groups in ((64, 32), (320, 32), (128, 16)):
+        x = jax.random.normal(
+            jax.random.PRNGKey(c), (2, 8, 8, c), jnp.float32
+        ) * 1.7 + 0.4
+        gamma = jax.random.normal(jax.random.PRNGKey(1), (c,)) * 0.1 + 1.0
+        beta = jax.random.normal(jax.random.PRNGKey(2), (c,)) * 0.1
+        flax_gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+        expected = flax_gn.apply(
+            {"params": {"scale": gamma, "bias": beta}}, x
+        )
+        got = _mxu_stats_group_norm(x, gamma, beta, groups, 1e-5, False)
+        np.testing.assert_allclose(got, expected, rtol=3e-5, atol=3e-5)

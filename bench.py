@@ -172,13 +172,15 @@ def main():
     images_per_sec = batch * runs / elapsed
     p50_latency = elapsed / (batch * runs)
     size = "512x512 200-step" if highres else "256x256 50-step"
+    # The CPU baseline was measured for the 256^2/50-step config; for the
+    # highres mode, extrapolate it by FLOP ratio (4x spatial work per step
+    # in the conv-dominated U-Net x 4x the steps = 16x slower).
+    baseline = TF2_CPU_BASELINE_IMAGES_PER_SEC / (16.0 if highres else 1.0)
     result = {
         "metric": f"images/sec/chip, {size} DDIM txt2img (CFG, batch {batch})",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(
-            images_per_sec / TF2_CPU_BASELINE_IMAGES_PER_SEC, 2
-        ),
+        "vs_baseline": round(images_per_sec / baseline, 2),
         "p50_per_image_latency_s": round(p50_latency, 4),
         "device": str(jax.devices()[0]),
     }

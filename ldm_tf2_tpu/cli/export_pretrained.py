@@ -1,0 +1,82 @@
+"""Export pretrained sampling artifacts from an LDM training checkpoint.
+
+Pulls the U-Net weights — EMA weights when the run was trained with
+``ldm_training.ema_decay`` (the standard weights for diffusion sampling),
+live weights otherwise — out of the newest train-state checkpoint under
+``ldm_training.ckpt_path`` and saves them in the 3-artifact
+``pre_ckpt_paths`` format the sampler CLI consumes (the reference's
+equivalent flow re-points `unet` at the `ddpm-N` training checkpoint,
+run_ldm_sampler.py:70-75 + README).
+
+  python -m ldm_tf2_tpu.cli.export_pretrained \
+      --config_path config.yaml --out_dir exported [--use_ema=false]
+"""
+
+from __future__ import annotations
+
+import os
+
+from absl import app, flags
+
+from ldm_tf2_tpu.cli._flags import define_string
+
+define_string("config_path", None, "Path to yaml config file.")
+define_string("out_dir", "exported", "Output directory for the artifacts.")
+flags.DEFINE_bool(
+    "use_ema", True,
+    "Prefer EMA weights when present in the checkpoint (recommended).",
+)
+
+FLAGS = flags.FLAGS
+
+
+def main(_):
+    import orbax.checkpoint as ocp
+
+    from ldm_tf2_tpu.checkpoints.manager import save_params
+    from ldm_tf2_tpu.configs import load_config
+
+    config = load_config(FLAGS.config_path)
+    ckpt_dir = os.path.abspath(config["ldm_training"]["ckpt_path"])
+
+    mgr = ocp.CheckpointManager(ckpt_dir)
+    step = mgr.latest_step()
+    if step is None:
+        raise SystemExit(f"no checkpoints under {ckpt_dir}")
+    # Restore without a target tree: we only need a few subtrees and the
+    # checkpoint's own structure/dtypes are authoritative here.
+    state = mgr.restore(step, args=ocp.args.StandardRestore())
+    mgr.close()
+    print(f"[INFO] Restored training checkpoint at step {step}.")
+
+    ema = state.get("ema_params") if isinstance(state, dict) else None
+    if FLAGS.use_ema and ema is not None:
+        print("[INFO] Exporting EMA weights.")
+        unet_params = ema["unet"]
+        cond_params = ema.get("cond", state["cond_params"])
+    else:
+        if FLAGS.use_ema:
+            print("[INFO] No EMA in checkpoint; exporting live weights.")
+        unet_params = state["unet_params"]
+        cond_params = state["cond_params"]
+
+    import jax
+    import numpy as np
+
+    os.makedirs(FLAGS.out_dir, exist_ok=True)
+    for name, params in (("unet-1", unet_params),
+                         ("transformer-1", cond_params)):
+        out = os.path.join(FLAGS.out_dir, name)
+        print(f"[INFO] Saving {out} ...")
+        # materialize to host numpy: strips the training run's mesh
+        # sharding so the artifact loads on any topology
+        save_params(out, jax.tree.map(np.asarray, params))
+    print(
+        "[INFO] Done. Point pre_ckpt_paths.unet / .cond_stage_model at these "
+        "artifacts (the autoencoder artifact is unchanged by LDM training)."
+    )
+
+
+if __name__ == "__main__":
+    flags.mark_flag_as_required("config_path")
+    app.run(main)

@@ -188,6 +188,7 @@ def main(_):
     logger = MetricLogger(log_per_iterations=tpu_cfg["log_per_iterations"])
     num_iterations = training["num_iterations"]
     rng = jax.random.PRNGKey(FLAGS.seed + 1)
+    step = int(state.step)
 
     for images in dataset:
         images = shard_batch(np.asarray(images, dtype=np.float32), mesh)
@@ -202,6 +203,10 @@ def main(_):
             manager.save(step, state)
         if step >= num_iterations:
             break
+    # Always persist the final state (the reference only saves on the
+    # periodic boundary, model_runners.py:222-223).
+    if step % persist_every != 0:
+        manager.save(step, state)
     manager.wait()
     manager.close()
 

@@ -186,6 +186,7 @@ def main(_):
     logger = MetricLogger(log_per_iterations=tpu_cfg["log_per_iterations"])
     num_iterations = training["num_iterations"]
     rng = jax.random.PRNGKey(FLAGS.seed + 1)
+    step = int(state.step)
 
     for images, caption_ids in dataset:
         batch = shard_batch(
@@ -199,6 +200,12 @@ def main(_):
             manager.save(step, state)
         if step >= num_iterations:
             break
+    # Always persist the final state (the reference only saves on the
+    # periodic boundary and can lose the tail of a run,
+    # model_runners.py:684-686).
+    if step % persist_every != 0:
+        print(f"[INFO] Saving final checkpoint at global step {step}...")
+        manager.save(step, state)
     manager.wait()
     manager.close()
 

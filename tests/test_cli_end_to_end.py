@@ -441,3 +441,28 @@ def test_ldm_trainer_cli_deterministic_data_and_ema(workspace):
         yaml.safe_dump(cfg, f)
     _run_cli(run_ldm_trainer, ["run_ldm_trainer", f"--config_path={path}"])
     assert (root / "ldm_det").exists()
+
+    # export the EMA weights as sampling artifacts and sample with them
+    from ldm_tf2_tpu.checkpoints.manager import load_params
+    from ldm_tf2_tpu.cli import export_pretrained, run_ldm_sampler
+
+    _run_cli(
+        export_pretrained,
+        [
+            "export_pretrained",
+            f"--config_path={path}",
+            f"--out_dir={root / 'exported'}",
+        ],
+    )
+    assert (root / "exported" / "unet-1").exists()
+    assert load_params(str(root / "exported" / "unet-1")) is not None
+
+    cfg["pre_ckpt_paths"]["unet"] = str(root / "exported" / "unet-1")
+    sample_path = str(root / "config_det_sample.yaml")
+    with open(sample_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(
+        run_ldm_sampler, ["run_ldm_sampler", f"--config_path={sample_path}"]
+    )
+    images = np.load(root / "images.npy")
+    assert images.shape == (2, IMG, IMG, 3)

@@ -104,6 +104,87 @@ def bench_ldm(batch=8, image=256, remat=None):
     }))
 
 
+def bench_ae(batch=8, image=256):
+    """AE-KL + GAN phase-2 train step: AE fwd/bwd, LPIPS VGG16 x1,
+    discriminator fwd/bwd, adaptive weight, two Adam updates."""
+    from ldm_tf2_tpu.models import AutoencoderKL, Discriminator, LPIPS
+    from ldm_tf2_tpu.training.ae_trainer import (
+        init_ae_train_state,
+        make_adam,
+        make_ae_train_steps,
+    )
+
+    dtype = jnp.bfloat16
+    ae = AutoencoderKL(dtype=dtype)
+    lpips = LPIPS(dtype=dtype)
+    disc = Discriminator(dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    images0 = jnp.zeros((1, image, image, 3))
+
+    print("[bench_train] init params...", flush=True)
+    ae_params = jax.jit(ae.init)({"params": key, "sample": key}, images0)[
+        "params"
+    ]
+    lpips_params = jax.jit(lpips.init)(key, images0, images0)["params"]
+    d_variables = jax.jit(disc.init)(key, images0)
+
+    def reconstruct(params, images, rng, training):
+        posterior = ae.apply(
+            {"params": params}, images, method=AutoencoderKL.encode,
+            training=training,
+        )
+        z = posterior.sample(rng)
+        out = ae.apply(
+            {"params": params}, z, method=AutoencoderKL.decode,
+            training=training,
+        )
+        return out, posterior, {}
+
+    def reg_loss(posterior):
+        kl = posterior.kl()
+        return jnp.sum(kl) / kl.shape[0]
+
+    def lpips_apply(params, a, b):
+        return lpips.apply({"params": params}, a, b)
+
+    def d_apply(variables, images, training=False, mutable=False):
+        return disc.apply(variables, images, training=training,
+                          mutable=mutable)
+
+    ae_opt, d_opt = make_adam(), make_adam()
+    _, step2 = make_ae_train_steps(
+        reconstruct, reg_loss, lpips_apply, d_apply, ae_opt, d_opt,
+        AutoencoderKL.last_layer_path(), lpips_params,
+        regularization_weight=1e-6, discriminator_weight=0.5,
+    )
+    step2 = jax.jit(step2, donate_argnums=(0,))
+    state = init_ae_train_state(ae_params, d_variables, ae_opt, d_opt)
+    images = jax.random.normal(key, (batch, image, image, 3))
+
+    print("[bench_train] compiling...", flush=True)
+    t0 = time.perf_counter()
+    state, metrics = step2(state, images, key)
+    sync(metrics["ae_loss"])
+    print(f"[bench_train] compile+1st step {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step2(state, images, key)
+    sync(metrics["ae_loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": f"AE-KL+GAN train step, {image}^2, batch {batch}, bf16",
+        "step_time_s": round(dt, 4),
+        "images_per_sec": round(batch / dt, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
 if __name__ == "__main__":
-    remat_env = os.environ.get("LDM_BENCH_REMAT")
-    bench_ldm(remat=remat_env != "0" if remat_env is not None else True)
+    if len(sys.argv) > 1 and sys.argv[1] == "ae":
+        bench_ae()
+    else:
+        remat_env = os.environ.get("LDM_BENCH_REMAT")
+        bench_ldm(remat=remat_env != "0" if remat_env is not None else True)

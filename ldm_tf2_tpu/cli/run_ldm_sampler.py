@@ -51,7 +51,14 @@ def main(_):
         plms_sample_loop,
     )
     from ldm_tf2_tpu.models import AutoencoderKL, AutoencoderVQ
+    from ldm_tf2_tpu.parallel import (
+        create_mesh,
+        maybe_initialize_distributed,
+        replicate,
+        shard_batch,
+    )
 
+    maybe_initialize_distributed()
     config = load_config(FLAGS.config_path)
     factory.apply_tpu_settings(config)
     sampling = config["ldm_sampling"]
@@ -157,7 +164,22 @@ def main(_):
             )
             return decode(ae_p, x0)
 
+    # Data-parallel sampling on the mesh (the reference is single-device):
+    # params replicated, the CFG-doubled token batch sharded over `data`
+    # whenever it divides evenly (the 2B token rows and B latent rows shard
+    # consistently since both are multiples of B).
     params = (cond_params, unet_params, ae_params)
+    mesh = create_mesh(config["tpu"]["mesh"])
+    n_data = mesh.shape["data"]
+    if shape[0] % n_data == 0:
+        print(f"[INFO] Sampling data-parallel over mesh {mesh}.")
+        params = replicate(params, mesh)
+        token_ids = shard_batch(token_ids, mesh)
+    elif n_data > 1:
+        print(
+            f"[INFO] Batch {shape[0]} not divisible by data axis {n_data}; "
+            "sampling on a single device."
+        )
     key = jax.random.PRNGKey(FLAGS.seed)
     print(
         f"[INFO] Sampling: {sampler_name}, {schedule.num_ddim_steps} steps, "

@@ -306,6 +306,24 @@ def test_sampler_cli_progressive(workspace):
     assert prog.shape == (2, 1, IMG, IMG, 3)
 
 
+def test_sampler_cli_data_parallel(workspace):
+    """Batch divisible by the data axis -> the sampler shards the CFG
+    token batch over the 8-device mesh (params replicated)."""
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["ldm_sampling"]["latent_shape"] = [8, IMG // 4, IMG // 4, 4]
+    path = str(root / "config_dp_sample.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(run_ldm_sampler, ["run_ldm_sampler", f"--config_path={path}"])
+    images = np.load(root / "images.npy")
+    assert images.shape == (8, IMG, IMG, 3)
+
+
 def test_ae_trainer_cli(workspace):
     from ldm_tf2_tpu.cli import run_autoencoder_trainer
 

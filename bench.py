@@ -131,8 +131,6 @@ def main():
         pipeline, params, token_ids = build_pipeline(batch=batch)
     key = jax.random.PRNGKey(42)
 
-    import numpy as np
-
     def run(k):
         out = pipeline(params, token_ids, k)
         # Force a host round-trip: under remote/tunneled execution,

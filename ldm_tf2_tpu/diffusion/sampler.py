@@ -27,8 +27,7 @@ reference, all motivated by the XLA compilation model:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

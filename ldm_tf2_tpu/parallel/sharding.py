@@ -25,7 +25,6 @@ import re
 from typing import Sequence
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ldm_tf2_tpu.parallel.mesh import MODEL_AXIS

@@ -21,7 +21,6 @@ step on a data-parallel mesh:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

@@ -11,7 +11,6 @@ transforms against torch layers for each transform class.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 
 from ldm_tf2_tpu.checkpoints.convert_pytorch import (

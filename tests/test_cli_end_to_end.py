@@ -2,7 +2,6 @@
 -> LDM training -> sampling, exercising the same script surface as the
 reference's run_*.py flow (SURVEY.md §3 call stacks)."""
 
-import json
 import os
 import sys
 
@@ -10,7 +9,7 @@ import numpy as np
 import pytest
 import yaml
 
-from ldm_tf2_tpu.data.dataset import convert_images_to_tfrecord, list_tfrecords
+from ldm_tf2_tpu.data.dataset import convert_images_to_tfrecord
 from ldm_tf2_tpu.data.tfrecord import TFRecordWriter
 from ldm_tf2_tpu.data.example_proto import encode_example
 

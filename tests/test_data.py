@@ -2,7 +2,6 @@
 TensorFlow's writers/parsers, which are the format's reference
 implementation) and the input pipeline."""
 
-import glob
 import io
 import os
 

@@ -1,8 +1,6 @@
 """Flash-attention kernel vs XLA reference (interpret mode on CPU; the same
 kernel compiles natively on TPU — exercised by bench.py / __graft_entry__)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

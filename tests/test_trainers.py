@@ -2,12 +2,9 @@
 data-parallel sharded step matches the single-device step (SURVEY.md §4
 strategies #3 and #4)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import pytest
 
 from ldm_tf2_tpu.diffusion import make_schedule

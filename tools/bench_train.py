@@ -183,8 +183,13 @@ def bench_ae(batch=8, image=256):
 
 
 if __name__ == "__main__":
+    batch = int(os.environ.get("LDM_BENCH_BATCH", "8"))
+    image = int(os.environ.get("LDM_BENCH_IMAGE", "256"))
     if len(sys.argv) > 1 and sys.argv[1] == "ae":
-        bench_ae()
+        bench_ae(batch=batch, image=image)
     else:
         remat_env = os.environ.get("LDM_BENCH_REMAT")
-        bench_ldm(remat=remat_env != "0" if remat_env is not None else True)
+        bench_ldm(
+            batch=batch, image=image,
+            remat=remat_env != "0" if remat_env is not None else True,
+        )

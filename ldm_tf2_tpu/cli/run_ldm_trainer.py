@@ -94,6 +94,18 @@ def main(_):
 
     cond_params = load_params(config["pre_ckpt_paths"]["cond_stage_model"])
     ae_params = load_params(config["pre_ckpt_paths"]["autoencoder"])
+    # Frozen models need no f32 masters: tpu.frozen_weights_dtype=bfloat16
+    # halves their HBM residency (enables 512^2 training on one v5e chip).
+    frozen_dtype = tpu_cfg.get("frozen_weights_dtype")
+    if frozen_dtype is not None:
+        cast = lambda tree: jax.tree.map(
+            lambda a: a.astype(frozen_dtype)
+            if a.dtype == jnp.float32 else a,
+            tree,
+        )
+        ae_params = cast(ae_params)
+        if not training["train_cond_model"]:
+            cond_params = cast(cond_params)
 
     key = jax.random.PRNGKey(FLAGS.seed)
     image_size = params_cfg["image_size"]

@@ -35,6 +35,11 @@ _TPU_DEFAULTS: dict[str, Any] = {
     # weight traffic of the 0.87B U-Net per denoise step. null keeps the
     # checkpoint's dtype (training always keeps float32 masters).
     "weights_dtype": None,
+    # Storage dtype for FROZEN models during LDM training (the cond
+    # transformer when train_cond_model is false, and the AE): they need
+    # no f32 masters; "bfloat16" frees ~1.6 GB HBM on the full config
+    # (what makes 512^2 training fit on one v5e chip).
+    "frozen_weights_dtype": None,
     "attention_impl": "auto",
     "remat": False,
     # Resumable index-based input pipeline (data/indexed.py): batch at
@@ -71,11 +76,12 @@ def load_config(path: str) -> dict:
             f"tpu.compute_dtype must be one of {sorted(_DTYPES)}, got "
             f"{tpu['compute_dtype']!r}"
         )
-    if tpu["weights_dtype"] is not None and tpu["weights_dtype"] not in _DTYPES:
-        raise ValueError(
-            f"tpu.weights_dtype must be null or one of {sorted(_DTYPES)}, "
-            f"got {tpu['weights_dtype']!r}"
-        )
+    for key in ("weights_dtype", "frozen_weights_dtype"):
+        if tpu[key] is not None and tpu[key] not in _DTYPES:
+            raise ValueError(
+                f"tpu.{key} must be null or one of {sorted(_DTYPES)}, "
+                f"got {tpu[key]!r}"
+            )
     if tpu["attention_impl"] not in ("auto", "xla", "flash"):
         raise ValueError(
             f"tpu.attention_impl must be auto|xla|flash, got "

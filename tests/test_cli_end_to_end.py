@@ -450,6 +450,7 @@ def test_ldm_trainer_cli_deterministic_data_and_ema(workspace):
     with open(config_path) as f:
         cfg = yaml.safe_load(f)
     cfg["tpu"]["deterministic_data"] = True
+    cfg["tpu"]["frozen_weights_dtype"] = "bfloat16"
     cfg["ldm_training"]["ema_decay"] = 0.99
     cfg["ldm_training"]["root_path"] = str(big_dir)
     cfg["ldm_training"]["ckpt_path"] = str(root / "ldm_det")

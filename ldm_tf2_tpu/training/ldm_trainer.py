@@ -56,13 +56,40 @@ def make_optimizer(
     beta_2: float = 0.999,
     epsilon: float = 1e-8,
     weight_decay: float = 0.01,
+    warmup_steps: int = 0,
+    decay_steps: int | None = None,
+    end_learning_rate_factor: float = 0.1,
+    clip_grad_norm: float | None = None,
 ) -> optax.GradientTransformation:
     """AdamW matching the reference's latent_diffusion_optimizer section
-    (all_in_one_config.yaml:125-130)."""
-    return optax.adamw(
-        learning_rate, b1=beta_1, b2=beta_2, eps=epsilon,
-        weight_decay=weight_decay,
+    (all_in_one_config.yaml:125-130), with additive (beyond-reference)
+    stability options: linear warmup, cosine decay, and global-norm
+    gradient clipping — all off by default so the reference's fixed-LR
+    behavior is preserved."""
+    if decay_steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=decay_steps,
+            end_value=learning_rate * end_learning_rate_factor,
+        )
+    elif warmup_steps:
+        lr = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, learning_rate, warmup_steps),
+                optax.constant_schedule(learning_rate),
+            ],
+            [warmup_steps],
+        )
+    else:
+        lr = learning_rate
+    tx = optax.adamw(
+        lr, b1=beta_1, b2=beta_2, eps=epsilon, weight_decay=weight_decay
     )
+    if clip_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
+    return tx
 
 
 def make_ldm_train_step(

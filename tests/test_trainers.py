@@ -158,6 +158,47 @@ def test_ldm_train_step_ema(tiny_ldm):
     )
 
 
+def test_ldm_optimizer_schedule_and_clipping(tiny_ldm):
+    """Warmup schedule: step-0 update is ~zero (lr starts at 0); clipping
+    bounds the global update norm."""
+    _, _, _, unet_params, cond_params, ae_params = tiny_ldm
+    schedule = make_schedule(num_steps=100, num_ddim_steps=10)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, IMG, IMG, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 64)
+    rng = jax.random.PRNGKey(0)
+    leaf = lambda t: np.asarray(jax.tree.leaves(t)[0])
+
+    warm_opt = make_optimizer(learning_rate=1e-3, warmup_steps=100)
+    step_fn = jax.jit(build_step(tiny_ldm, schedule, warm_opt))
+    state = init_ldm_train_state(unet_params, cond_params, warm_opt)
+    state1, _ = step_fn(state, ae_params, images, ids, rng)
+    # first step at lr ~ 1e-3/100: updates tiny vs fixed-lr run
+    fixed_opt = make_optimizer(learning_rate=1e-3)
+    step_fixed = jax.jit(build_step(tiny_ldm, schedule, fixed_opt))
+    statef = init_ldm_train_state(unet_params, cond_params, fixed_opt)
+    statef1, _ = step_fixed(statef, ae_params, images, ids, rng)
+    d_warm = np.abs(leaf(state1.unet_params) - leaf(unet_params)).max()
+    d_fixed = np.abs(leaf(statef1.unet_params) - leaf(unet_params)).max()
+    assert d_warm < d_fixed / 10, (d_warm, d_fixed)
+
+    # cosine decay builds and runs
+    cos_opt = make_optimizer(
+        learning_rate=1e-3, warmup_steps=2, decay_steps=10
+    )
+    step_cos = jax.jit(build_step(tiny_ldm, schedule, cos_opt))
+    statec = init_ldm_train_state(unet_params, cond_params, cos_opt)
+    statec, m = step_cos(statec, ae_params, images, ids, rng)
+    assert np.isfinite(float(m["loss"]))
+
+    # clipping: with a tiny max norm, total update magnitude shrinks
+    clip_opt = make_optimizer(learning_rate=1e-3, clip_grad_norm=1e-6)
+    step_clip = jax.jit(build_step(tiny_ldm, schedule, clip_opt))
+    statecl = init_ldm_train_state(unet_params, cond_params, clip_opt)
+    statecl, _ = step_clip(statecl, ae_params, images, ids, rng)
+    d_clip = np.abs(leaf(statecl.unet_params) - leaf(unet_params)).max()
+    assert d_clip <= d_fixed, (d_clip, d_fixed)
+
+
 def test_ldm_train_step_remat_matches(tiny_ldm):
     """remat_unet=True must run (regression: jax.checkpoint static_argnums
     needs `training` positional) and produce the same loss/update as the

@@ -75,7 +75,12 @@ def summarize_perfetto(trace_dir):
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "unet"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ldm_trace"
-    fn, args = build_unet_eval()
+    if mode == "unet512":
+        fn, args = build_unet_eval(batch=4, latent=64)
+    elif mode == "unet":
+        fn, args = build_unet_eval()
+    else:
+        raise SystemExit(f"unknown mode {mode!r} (use: unet | unet512)")
     print("[profile] compiling...", flush=True)
     out = fn(*args)
     jax.block_until_ready(out)

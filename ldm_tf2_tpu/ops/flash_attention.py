@@ -64,7 +64,7 @@ def _pick_blocks(sp: int) -> tuple[int, int]:
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len,
-    block_k,
+    block_k, masked,
 ):
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -82,10 +82,15 @@ def _flash_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BQ, BK]
-    key_idx = kv_idx * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, s.shape, 1
-    )
-    s = jnp.where(key_idx < kv_len, s, _NEG_INF)
+    if masked:
+        # Only reached when kv_len is not a block_k multiple: the padded
+        # tail keys must not contribute.  Static-skipped otherwise — the
+        # iota/compare/where over the full [BQ, BK] logits block is pure
+        # VPU work repeated every grid step.
+        key_idx = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
@@ -131,7 +136,8 @@ def _flash_forward(q, k, v, scale, block_q=None, block_k=None):
     grid = (b * h, q_pad // block_q, kv_pad // block_k)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+            _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
+            masked=kv_len != kv_pad,
         ),
         grid=grid,
         in_specs=[

@@ -170,6 +170,13 @@ def main(_):
     # consistently since both are multiples of B).
     params = (cond_params, unet_params, ae_params)
     mesh = create_mesh(config["tpu"]["mesh"])
+    if config["tpu"]["sequence_parallel"]:
+        from ldm_tf2_tpu.ops.attention import enable_sequence_parallel
+
+        print("[INFO] Ulysses sequence-parallel attention over 'model' "
+              f"axis (size {mesh.shape['model']}).")
+        enable_sequence_parallel(mesh)
+        params = replicate(params, mesh)
     n_data = mesh.shape["data"]
     if shape[0] % n_data == 0:
         print(f"[INFO] Sampling data-parallel over mesh {mesh}.")

@@ -41,6 +41,10 @@ _TPU_DEFAULTS: dict[str, Any] = {
     # (what makes 512^2 training fit on one v5e chip).
     "frozen_weights_dtype": None,
     "attention_impl": "auto",
+    # Ulysses sequence-parallel attention over the mesh's "model" axis for
+    # self-attention >= 4096 tokens (1024^2+ sampling). Requires a model
+    # axis of size > 1 in tpu.mesh.
+    "sequence_parallel": False,
     "remat": False,
     # Resumable index-based input pipeline (data/indexed.py): batch at
     # step s is a pure function of (seed, s), so restarts resume mid-epoch
@@ -86,6 +90,16 @@ def load_config(path: str) -> dict:
         raise ValueError(
             f"tpu.attention_impl must be auto|xla|flash, got "
             f"{tpu['attention_impl']!r}"
+        )
+    if not isinstance(tpu["sequence_parallel"], bool):
+        raise ValueError(
+            f"tpu.sequence_parallel must be a bool, got "
+            f"{tpu['sequence_parallel']!r}"
+        )
+    if tpu["sequence_parallel"] and tpu["mesh"].get("model", 1) in (0, 1):
+        raise ValueError(
+            "tpu.sequence_parallel requires a 'model' axis of size > 1 "
+            f"in tpu.mesh, got {tpu['mesh']}"
         )
     config["tpu"] = tpu
     return config

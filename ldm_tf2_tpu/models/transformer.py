@@ -34,6 +34,13 @@ class Projection(nn.Module):
 
     mode="split":  [B,T,D] x [D,H,S] -> [B,T,H,S]
     mode="merge":  [B,T,H,S] x [H,S,D] -> [B,T,D]
+
+    ``packed=True`` (call-time) emits/consumes the flash kernel's native
+    layout [B,H,T,Sp] with the head dim zero-padded to the 128-lane tile —
+    the pad is folded into the projection weights (a few-hundred-KB weight
+    copy) so the attention op needs no activation relayout.  Param shapes
+    are identical in both modes (checkpoint contract preserved,
+    convert_ckpt_pytorch_to_tf2.py:28-41).
     """
 
     num_heads: int
@@ -44,7 +51,7 @@ class Projection(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, packed: bool = False):
         if self.mode not in ("split", "merge"):
             raise ValueError('"mode" must be either "split" or "merge".')
         hidden = (
@@ -52,6 +59,10 @@ class Projection(nn.Module):
             if self.hidden_size is None
             else self.hidden_size
         )
+        if packed:
+            from ldm_tf2_tpu.ops.flash_attention import lane_pad
+
+            pad = lane_pad(self.size_per_head) - self.size_per_head
         if self.mode == "merge":
             kernel = self.param(
                 "kernel",
@@ -59,7 +70,15 @@ class Projection(nn.Module):
                 (self.num_heads, self.size_per_head, hidden),
                 jnp.float32,
             )
-            out = jnp.einsum("nths,hsd->ntd", x, kernel.astype(self.dtype))
+            if packed:
+                kernel = jnp.pad(kernel, ((0, 0), (0, pad), (0, 0)))
+                out = jnp.einsum(
+                    "nhts,hsd->ntd", x, kernel.astype(self.dtype)
+                )
+            else:
+                out = jnp.einsum(
+                    "nths,hsd->ntd", x, kernel.astype(self.dtype)
+                )
             if self.use_bias:
                 bias = self.param(
                     "bias", nn.initializers.zeros, (hidden,), jnp.float32
@@ -72,12 +91,22 @@ class Projection(nn.Module):
                 (hidden, self.num_heads, self.size_per_head),
                 jnp.float32,
             )
-            out = jnp.einsum("ntd,dhs->nths", x, kernel.astype(self.dtype))
+            if packed:
+                kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad)))
+                out = jnp.einsum(
+                    "ntd,dhs->nhts", x, kernel.astype(self.dtype)
+                )
+            else:
+                out = jnp.einsum(
+                    "ntd,dhs->nths", x, kernel.astype(self.dtype)
+                )
             if self.use_bias:
                 bias = self.param(
                     "bias", nn.initializers.zeros, (self.size_per_head,),
                     jnp.float32,
                 )
+                if packed:
+                    bias = jnp.pad(bias, (0, pad))
                 out = out + bias.astype(self.dtype)
         return out
 

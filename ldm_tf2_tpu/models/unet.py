@@ -155,6 +155,15 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, context=None, *, training: bool = False):
+        # Self-attention over long spatial token sequences takes the packed
+        # flash path: the projections emit the kernel's native [B,H,T,Sp]
+        # layout directly (pad folded into the weights), skipping the
+        # transpose+pad relayout of the generic dispatch.
+        from ldm_tf2_tpu.ops.attention import use_packed_flash
+
+        packed = context is None and use_packed_flash(
+            query.shape[1], query.shape[1], self.num_heads
+        )
         context = query if context is None else context
         q = Projection(
             self.num_heads,
@@ -163,7 +172,7 @@ class CrossAttention(nn.Module):
             mode="split",
             dtype=self.dtype,
             name="query",
-        )(query)
+        )(query, packed=packed)
         k = Projection(
             self.num_heads,
             self.size_per_head,
@@ -171,7 +180,7 @@ class CrossAttention(nn.Module):
             mode="split",
             dtype=self.dtype,
             name="key",
-        )(context)
+        )(context, packed=packed)
         v = Projection(
             self.num_heads,
             self.size_per_head,
@@ -179,8 +188,19 @@ class CrossAttention(nn.Module):
             mode="split",
             dtype=self.dtype,
             name="value",
-        )(context)
-        out = dot_product_attention(q, k, v, scale=self.size_per_head**-0.5)
+        )(context, packed=packed)
+        if packed:
+            from ldm_tf2_tpu.ops.flash_attention import (
+                flash_attention_packed,
+            )
+
+            out = flash_attention_packed(
+                q, k, v, self.size_per_head**-0.5
+            )
+        else:
+            out = dot_product_attention(
+                q, k, v, scale=self.size_per_head**-0.5
+            )
         out = Projection(
             self.num_heads,
             self.size_per_head,
@@ -189,7 +209,7 @@ class CrossAttention(nn.Module):
             mode="merge",
             dtype=self.dtype,
             name="output",
-        )(out)
+        )(out, packed=packed)
         return nn.Dropout(self.dropout_rate, deterministic=not training)(out)
 
 

@@ -17,6 +17,14 @@ Two interchangeable implementations:
 
 The active implementation is process-global state set by
 ``set_attention_impl``; "auto" picks flash for long sequences on TPU.
+
+A third dispatch layer sits above both: ``enable_sequence_parallel(mesh)``
+routes sufficiently long self-attention through the Ulysses head-sharded
+sequence-parallel op (`ldm_tf2_tpu.ops.sequence_parallel`) over the mesh's
+``model`` axis — the documented escape hatch for 1024x1024+ sampling
+(SURVEY.md §5).  Cross-attention (kv length 77) and short spatial levels
+fall through to the local path automatically via the divisibility and
+length guards.
 """
 
 from __future__ import annotations
@@ -30,6 +38,9 @@ _ATTENTION_IMPL = "auto"
 # Below this q-sequence length the XLA path wins (kernel launch + padding
 # overheads dominate); above it the flash kernel's HBM savings win.
 _FLASH_MIN_SEQ_LEN = 1024
+
+# Sequence-parallel dispatch state: (mesh, axis, min_seq_len) or None.
+_SP_STATE = None
 
 
 def set_attention_impl(impl: str) -> None:
@@ -65,6 +76,63 @@ def _use_flash(q_len: int, kv_len: int) -> bool:
     return on_tpu and q_len >= _FLASH_MIN_SEQ_LEN and kv_len >= _FLASH_MIN_SEQ_LEN
 
 
+def enable_sequence_parallel(
+    mesh, axis: str = "model", min_seq_len: int = 4096
+) -> None:
+    """Route long self-attention through Ulysses SP over ``mesh[axis]``.
+
+    Attention calls whose q/kv lengths and head count are divisible by the
+    axis size and whose sequence is >= min_seq_len are computed with tokens
+    sharded over the axis (two all_to_alls per call); everything else stays
+    local.  No-op dispatch when the axis has size 1.
+    """
+    global _SP_STATE
+    if axis not in mesh.shape:
+        raise ValueError(f"mesh has no axis {axis!r}: {dict(mesh.shape)}")
+    _SP_STATE = (mesh, axis, min_seq_len) if mesh.shape[axis] > 1 else None
+
+
+def disable_sequence_parallel() -> None:
+    global _SP_STATE
+    _SP_STATE = None
+
+
+def _local_attention(q, k, v, scale):
+    """The single-device dispatch (xla vs flash kernel)."""
+    if _use_flash(q.shape[1], k.shape[1]):
+        from ldm_tf2_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)
+
+
+def _use_sequence_parallel(q, k) -> bool:
+    if _SP_STATE is None:
+        return False
+    mesh, axis, min_seq_len = _SP_STATE
+    p = mesh.shape[axis]
+    return (
+        q.shape[1] >= min_seq_len
+        and q.shape[2] % p == 0
+        and q.shape[1] % p == 0
+        and k.shape[1] % p == 0
+    )
+
+
+def use_packed_flash(q_len: int, kv_len: int, num_heads: int) -> bool:
+    """True when the packed flash entry (`flash_attention_packed`, fed by
+    packed=True projections) is the active dispatch for this shape: flash
+    would be selected and sequence-parallel attention is not claiming it.
+    Lets modules skip the [B,T,H,S] relayout entirely."""
+    if _SP_STATE is not None:
+        mesh, axis, min_seq_len = _SP_STATE
+        p = mesh.shape[axis]
+        if (q_len >= min_seq_len and num_heads % p == 0
+                and q_len % p == 0 and kv_len % p == 0):
+            return False
+    return _use_flash(q_len, kv_len)
+
+
 def dot_product_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float | None = None
 ) -> jnp.ndarray:
@@ -74,8 +142,11 @@ def dot_product_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if _use_flash(q.shape[1], k.shape[1]):
-        from ldm_tf2_tpu.ops.flash_attention import flash_attention
+    if _use_sequence_parallel(q, k):
+        from ldm_tf2_tpu.ops.sequence_parallel import (
+            sequence_parallel_attention,
+        )
 
-        return flash_attention(q, k, v, scale=scale)
-    return _xla_attention(q, k, v, scale)
+        mesh, axis, _ = _SP_STATE
+        return sequence_parallel_attention(q, k, v, mesh, scale, axis)
+    return _local_attention(q, k, v, scale)

@@ -21,9 +21,13 @@ Kernel structure:
 * head dim S is zero-padded to the 128 lane width (zero-pad of q/k leaves
   logits unchanged; zero columns of v are sliced off the output).
 
-Differentiation: gradients fall back to the XLA attention vjp via
-custom_vjp (mathematically the same function; backward recomputes instead
-of saving logits).  A fused flash backward kernel is a later optimization.
+Differentiation: a fused Pallas backward (FlashAttention-2 recipe) is the
+default — the forward additionally saves the per-row logsumexp (broadcast
+over a 128-lane minor dim, the layout jax's own TPU flash kernels use),
+``di = rowsum(dO*O)`` is precomputed by XLA, and two kernels stream KV
+(resp. Q) blocks through VMEM: dq accumulates over KV blocks, dk/dv over Q
+blocks.  ``set_flash_backward("xla")`` restores the recompute-via-XLA vjp
+for A/B testing.
 """
 
 from __future__ import annotations
@@ -62,10 +66,33 @@ def _pick_blocks(sp: int) -> tuple[int, int]:
     return 128, 128
 
 
+def _pick_blocks_bwd(sp: int) -> tuple[int, int]:
+    """(block_q, block_k) for the backward kernels' larger working sets.
+
+    Residency model (f32 worst case, double-buffered streamed inputs):
+    the dq kernel keeps q/do/dq_acc/lse/di per q-block and streams k,v;
+    the dkv kernel keeps k/v/dk_acc/dv_acc per kv-block and streams
+    q/do/lse/di.  Whichever is larger must fit the ~9 MiB budget used by
+    the forward's `_pick_blocks`.
+    """
+    budget = 9 * 1024 * 1024
+    for bq, bk in ((1024, 512), (512, 512), (512, 256), (256, 256),
+                   (256, 128), (128, 128)):
+        dq_set = (3 * bq * sp + 2 * bq * _LANE + 4 * bk * sp + bq * sp) * 4
+        dkv_set = (6 * bk * sp + 2 * (2 * bq * sp + 2 * bq * _LANE)) * 4
+        if max(dq_set, dkv_set) <= budget:
+            return bq, bk
+    return 128, 128
+
+
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_len,
-    block_k, masked,
+    q_ref, k_ref, v_ref, *rest, scale, kv_len, block_k, masked,
+    save_residuals,
 ):
+    if save_residuals:
+        o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
 
@@ -107,37 +134,47 @@ def _flash_kernel(
     @pl.when(kv_idx == num_kv - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        if save_residuals:
+            lse = m_ref[:] + jnp.log(l_ref[:])  # [BQ, 1]
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _flash_forward(q, k, v, scale, block_q=None, block_k=None):
-    b, q_len, h, s = q.shape
-    kv_len = k.shape[1]
-    # Head dim IS explicitly padded to the 128 lane width: measured ~18%
-    # faster than letting Mosaic mask a sub-128 minor dim per-op (5.2 vs
-    # 6.1 ms for [32,1024,8,40] bf16 on v5e), i.e. the one extra HBM pass
-    # of jnp.pad is cheaper than implicit lane masking in the inner loop.
-    sp = _round_up(s, _LANE)
+def _forward_packed(qt, kt, vt, scale, block_q=None, block_k=None,
+                    save_residuals=False):
+    """Core forward on the packed layout: qt [BH, Q, Sp], kt/vt [BH, KV, Sp]
+    with Sp a 128 multiple.  Pads Q/KV up to block multiples internally
+    (a no-op for the model's power-of-two spatial token counts)."""
+    bh, q_len, sp = qt.shape
+    kv_len = kt.shape[1]
     if block_q is None or block_k is None:
         auto_q, auto_k = _pick_blocks(sp)
         block_q = block_q or min(auto_q, _round_up(q_len, 8))
         block_k = block_k or min(auto_k, _round_up(kv_len, _LANE))
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
+    if q_pad != q_len:
+        qt = jnp.pad(qt, ((0, 0), (0, q_pad - q_len), (0, 0)))
+    if kv_pad != kv_len:
+        kt = jnp.pad(kt, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
 
-    def to_bh(x, length, pad_len):
-        # [B, T, H, S] -> [B*H, pad_T, Sp]
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, length, s)
-        return jnp.pad(x, ((0, 0), (0, pad_len - length), (0, sp - s)))
-
-    qt = to_bh(q, q_len, q_pad)
-    kt = to_bh(k, kv_len, kv_pad)
-    vt = to_bh(v, kv_len, kv_pad)
-
-    grid = (b * h, q_pad // block_q, kv_pad // block_k)
+    grid = (bh, q_pad // block_q, kv_pad // block_k)
+    out_specs = pl.BlockSpec(
+        (1, block_q, sp), lambda bh, qi, ki: (bh, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((bh, q_pad, sp), qt.dtype)
+    if save_residuals:
+        out_specs = [out_specs, pl.BlockSpec(
+            (1, block_q, _LANE), lambda bh, qi, ki: (bh, qi, 0),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape = [out_shape, jax.ShapeDtypeStruct(
+            (bh, q_pad, _LANE), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
-            masked=kv_len != kv_pad,
+            masked=kv_len != kv_pad, save_residuals=save_residuals,
         ),
         grid=grid,
         in_specs=[
@@ -154,29 +191,62 @@ def _flash_forward(q, k, v, scale, block_q=None, block_k=None):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, sp), lambda bh, qi, ki: (bh, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, q_pad, sp), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, sp), jnp.float32),  # acc
             pltpu.VMEM((block_q, 1), jnp.float32),   # running max
             pltpu.VMEM((block_q, 1), jnp.float32),   # running sum
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * q_len * kv_len * sp,
+            flops=4 * bh * q_len * kv_len * sp,
             bytes_accessed=(
                 qt.size * qt.dtype.itemsize
                 + (kt.size + vt.size) * kt.dtype.itemsize
                 * (q_pad // block_q)
                 + qt.size * qt.dtype.itemsize
             ),
-            transcendentals=b * h * q_len * kv_len,
+            transcendentals=bh * q_len * kv_len,
         ),
     )(qt, kt, vt)
 
-    out = out[:, :q_len, :s].reshape(b, h, q_len, s)
+    if save_residuals:
+        out, lse = out
+        return out[:, :q_len], lse
+    return out[:, :q_len]
+
+
+def _flash_forward(q, k, v, scale, block_q=None, block_k=None,
+                   save_residuals=False):
+    """[B, T, H, S] layout entry: relayout to [B*H, T, Sp] + lane pad,
+    run the packed core, relayout back.
+
+    Head dim IS explicitly padded to the 128 lane width: measured ~18%
+    faster than letting Mosaic mask a sub-128 minor dim per-op (5.2 vs
+    6.1 ms for [32,1024,8,40] bf16 on v5e), i.e. the one extra HBM pass
+    of jnp.pad is cheaper than implicit lane masking in the inner loop.
+    (The packed entry `flash_attention_packed` avoids this relayout
+    entirely by having the q/k/v projections emit the packed layout.)
+    """
+    b, q_len, h, s = q.shape
+    kv_len = k.shape[1]
+    sp = _round_up(s, _LANE)
+
+    def to_bh(x, length):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, length, s)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, sp - s)))
+
+    out = _forward_packed(
+        to_bh(q, q_len), to_bh(k, kv_len), to_bh(v, kv_len), scale,
+        block_q=block_q, block_k=block_k, save_residuals=save_residuals,
+    )
+    if save_residuals:
+        out, lse = out
+        o = jnp.transpose(
+            out[:, :, :s].reshape(b, h, q_len, s), (0, 2, 1, 3)
+        )
+        return o, lse
+    out = out[:, :, :s].reshape(b, h, q_len, s)
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
@@ -188,19 +258,289 @@ def _xla_reference(q, k, v, scale):
     return jnp.einsum("bhqc,bchs->bqhs", weights, v)
 
 
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_acc, *,
+    scale, block_k,
+):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    reps = block_k // _LANE
+    lse = jnp.tile(lse_ref[0], (1, reps))  # [BQ, BK]
+    di = jnp.tile(di_ref[0], (1, reps))
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK]
+    # Zero-padded tail keys need no mask here: their k/v rows are zero, so
+    # dp's columns and the ds@k contribution both vanish identically.
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, BK]
+    ds = p * (dp - di)
+    dq_acc[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _():
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, do_ref, lse_ref, di_ref, k_ref, v_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale, block_k,
+):
+    q_idx = pl.program_id(2)
+    num_q = pl.num_programs(2)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    reps = block_k // _LANE
+    lse = jnp.tile(lse_ref[0], (1, reps))
+    di = jnp.tile(di_ref[0], (1, reps))
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK]
+    # Zero-padded tail q rows carry do == 0 and di == 0, so both the p^T@do
+    # and ds^T@q contributions from them vanish — no masking needed.
+    p = jnp.exp(s - lse)
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, Sp]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di)
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, Sp]
+
+    @pl.when(q_idx == num_q - 1)
+    def _():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _backward_packed(qt, kt, vt, ot, lse, dot, scale):
+    """Core backward on the packed layout ([BH, T, Sp] operands)."""
+    bh, q_len, sp = qt.shape
+    kv_len = kt.shape[1]
+    auto_q, auto_k = _pick_blocks_bwd(sp)
+    block_q = min(auto_q, _round_up(q_len, 8))
+    block_k = min(auto_k, _round_up(kv_len, _LANE))
+    q_pad = _round_up(q_len, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+
+    def pad_t(x, pad_len):
+        return jnp.pad(x, ((0, 0), (0, pad_len - x.shape[1]), (0, 0)))
+
+    qt = pad_t(qt, q_pad)
+    kt = pad_t(kt, kv_pad)
+    vt = pad_t(vt, kv_pad)
+    dot = pad_t(dot, q_pad)
+    ot = pad_t(ot, q_pad)
+
+    di = jnp.sum(dot.astype(jnp.float32) * ot.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[:, :, None], (bh, q_pad, _LANE))
+    # lse from the forward is [B*H, fwd_q_pad, 128]; re-pad to this q_pad.
+    if lse.shape[1] < q_pad:
+        lse = jnp.pad(lse, ((0, 0), (0, q_pad - lse.shape[1]), (0, 0)))
+    else:
+        lse = lse[:, :q_pad]
+
+    q_spec = pl.BlockSpec((1, block_q, sp), lambda bh, i, j: (bh, i, 0),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, block_q, _LANE), lambda bh, i, j: (bh, i, 0),
+                            memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, sp), lambda bh, i, j: (bh, j, 0),
+                           memory_space=pltpu.VMEM)
+
+    flops_qk = 2 * bh * q_len * kv_len * sp
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k),
+        grid=(bh, q_pad // block_q, kv_pad // block_k),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, q_pad, sp), qt.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, sp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * flops_qk,
+            bytes_accessed=(qt.size + dot.size) * qt.dtype.itemsize
+            + (kt.size + vt.size) * kt.dtype.itemsize * (q_pad // block_q)
+            + qt.size * qt.dtype.itemsize,
+            transcendentals=bh * q_len * kv_len,
+        ),
+    )(qt, kt, vt, dot, lse, di)
+
+    # dkv grid: kv-blocks major, q-blocks minor (scratch accumulates over q).
+    q_spec_t = pl.BlockSpec((1, block_q, sp), lambda bh, j, i: (bh, i, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec_t = pl.BlockSpec(
+        (1, block_q, _LANE), lambda bh, j, i: (bh, i, 0),
+        memory_space=pltpu.VMEM)
+    kv_spec_t = pl.BlockSpec((1, block_k, sp), lambda bh, j, i: (bh, j, 0),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_k=block_k),
+        grid=(bh, kv_pad // block_k, q_pad // block_q),
+        in_specs=[q_spec_t, q_spec_t, row_spec_t, row_spec_t,
+                  kv_spec_t, kv_spec_t],
+        out_specs=[kv_spec_t, kv_spec_t],
+        out_shape=[jax.ShapeDtypeStruct((bh, kv_pad, sp), kt.dtype),
+                   jax.ShapeDtypeStruct((bh, kv_pad, sp), vt.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, sp), jnp.float32),
+                        pltpu.VMEM((block_k, sp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * flops_qk,
+            bytes_accessed=(kt.size + vt.size) * kt.dtype.itemsize
+            + (qt.size + dot.size) * qt.dtype.itemsize
+            * (kv_pad // block_k)
+            + 2 * kt.size * kt.dtype.itemsize,
+            transcendentals=bh * q_len * kv_len,
+        ),
+    )(qt, dot, lse, di, kt, vt)
+
+    return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
+
+
+def _flash_backward(q, k, v, o, lse, do, scale):
+    b, q_len, h, s = q.shape
+    kv_len = k.shape[1]
+    sp = _round_up(s, _LANE)
+
+    def to_bh(x, length):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, length, s)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, sp - s)))
+
+    dq, dk, dv = _backward_packed(
+        to_bh(q, q_len), to_bh(k, kv_len), to_bh(v, kv_len),
+        to_bh(o, q_len), lse, to_bh(do, q_len), scale,
+    )
+
+    def from_bh(x, length):
+        x = x[:, :length, :s].reshape(b, h, length, s)
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    return from_bh(dq, q_len), from_bh(dk, kv_len), from_bh(dv, kv_len)
+
+
+_FLASH_BACKWARD = "pallas"
+
+
+def set_flash_backward(impl: str) -> None:
+    """Select the flash-attention vjp: "pallas" (fused) or "xla"."""
+    global _FLASH_BACKWARD
+    if impl not in ("pallas", "xla"):
+        raise ValueError(f"unknown flash backward impl: {impl!r}")
+    _FLASH_BACKWARD = impl
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale):
     return _flash_forward(q, k, v, scale)
 
 
 def _fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    if _FLASH_BACKWARD == "pallas":
+        o, lse = _flash_forward(q, k, v, scale, save_residuals=True)
+        return o, (q, k, v, o, lse)
+    return _flash_forward(q, k, v, scale), (q, k, v, None, None)
 
 
 def _bwd(scale, residuals, g):
-    q, k, v = residuals
+    q, k, v, o, lse = residuals
+    if lse is not None:
+        return _flash_backward(q, k, v, o, lse, g, scale)
     _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, scale), q, k, v)
     return vjp(g)
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------- packed --
+# Zero-relayout entry: operands already in the kernel's native layout
+# [B, H, T, Sp] with the head dim lane-padded (Sp % 128 == 0).  Produced
+# directly by the q/k/v projections (models.transformer.Projection
+# packed=True), which fold the pad into the projection weights — this
+# removes the transpose+pad HBM passes of `flash_attention` (~4.4 ms per
+# 512^2 U-Net eval, tools/profile_pipeline.py).
+
+def lane_pad(s: int) -> int:
+    """Head dim padded to the 128-lane tile width."""
+    return _round_up(s, _LANE)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_packed(q, k, v, scale):
+    """q [B, H, Tq, Sp], k/v [B, H, Tkv, Sp] -> [B, H, Tq, Sp].
+
+    Sp must be a 128 multiple; the valid head dim occupies the leading
+    lanes and the rest MUST be zero (zero pad lanes of q/k leave logits
+    unchanged; zero lanes of v yield zero output lanes).
+    """
+    b, h, t, sp = q.shape
+    kv = k.shape[2]
+    out = _forward_packed(
+        q.reshape(b * h, t, sp), k.reshape(b * h, kv, sp),
+        v.reshape(b * h, kv, sp), scale,
+    )
+    return out.reshape(b, h, t, sp)
+
+
+def _fwd_packed(q, k, v, scale):
+    b, h, t, sp = q.shape
+    kv = k.shape[2]
+    if _FLASH_BACKWARD == "pallas":
+        o, lse = _forward_packed(
+            q.reshape(b * h, t, sp), k.reshape(b * h, kv, sp),
+            v.reshape(b * h, kv, sp), scale, save_residuals=True,
+        )
+        return o.reshape(b, h, t, sp), (q, k, v, o.reshape(b, h, t, sp), lse)
+    return flash_attention_packed(q, k, v, scale), (q, k, v, None, None)
+
+
+def _bwd_packed(scale, residuals, g):
+    q, k, v, o, lse = residuals
+    b, h, t, sp = q.shape
+    kv = k.shape[2]
+    if lse is not None:
+        dq, dk, dv = _backward_packed(
+            q.reshape(b * h, t, sp), k.reshape(b * h, kv, sp),
+            v.reshape(b * h, kv, sp), o.reshape(b * h, t, sp), lse,
+            g.reshape(b * h, t, sp), scale,
+        )
+        return (dq.reshape(b, h, t, sp), dk.reshape(b, h, kv, sp),
+                dv.reshape(b, h, kv, sp))
+
+    def ref(q, k, v):
+        perm = (0, 2, 1, 3)  # [B,H,T,Sp] <-> [B,T,H,Sp]
+        out = _xla_reference(
+            jnp.transpose(q, perm), jnp.transpose(k, perm),
+            jnp.transpose(v, perm), scale,
+        )
+        return jnp.transpose(out, perm)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+flash_attention_packed.defvjp(_fwd_packed, _bwd_packed)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ldm_tf2_tpu.ops.attention import dot_product_attention
+from ldm_tf2_tpu.ops.attention import _local_attention
 
 
 def ulysses_attention(
@@ -52,7 +52,11 @@ def ulysses_attention(
     qh = jax.lax.all_to_all(q, axis_name, 2, 1, tiled=True)
     kh = jax.lax.all_to_all(k, axis_name, 2, 1, tiled=True)
     vh = jax.lax.all_to_all(v, axis_name, 2, 1, tiled=True)
-    out = dot_product_attention(qh, kh, vh, scale=scale)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    # The *local* dispatch, not dot_product_attention: the global SP
+    # dispatch must not re-trigger inside the shard_map body.
+    out = _local_attention(qh, kh, vh, scale)
     # scatter sequence (axis 1), gather heads (axis 2)
     return jax.lax.all_to_all(out, axis_name, 1, 2, tiled=True)
 

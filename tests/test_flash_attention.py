@@ -32,22 +32,109 @@ def test_flash_matches_xla(b, q_len, kv_len, h, s):
     np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
 
 
-def test_flash_gradients_match_xla():
-    keys = jax.random.split(jax.random.PRNGKey(1), 3)
-    b, t, h, s = 1, 64, 2, 32
-    q = jax.random.normal(keys[0], (b, t, h, s))
-    k = jax.random.normal(keys[1], (b, t, h, s))
-    v = jax.random.normal(keys[2], (b, t, h, s))
+@pytest.mark.parametrize("backward", ["pallas", "xla"])
+@pytest.mark.parametrize(
+    "b,q_len,kv_len,h,s",
+    [
+        (1, 64, 64, 2, 32),     # tiny self-attention
+        (2, 128, 77, 2, 64),    # cross-attention shape (kv 77)
+        (1, 256, 200, 2, 40),   # ragged kv length, odd head dim
+    ],
+)
+def test_flash_gradients_match_xla(backward, b, q_len, kv_len, h, s):
+    from ldm_tf2_tpu.ops import flash_attention as fa
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(keys[0], (b, q_len, h, s))
+    k = jax.random.normal(keys[1], (b, kv_len, h, s))
+    v = jax.random.normal(keys[2], (b, kv_len, h, s))
+    cot = jax.random.normal(keys[3], (b, q_len, h, s))
     scale = s**-0.5
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention(q, k, v, scale) ** 2)
+        return jnp.sum(flash_attention(q, k, v, scale) * cot)
 
     def loss_xla(q, k, v):
-        return jnp.sum(_xla_attention(q, k, v, scale) ** 2)
+        return jnp.sum(_xla_attention(q, k, v, scale) * cot)
 
-    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    fa.set_flash_backward(backward)
+    try:
+        # The context must wrap the grad call: the custom_vjp backward (a
+        # Pallas kernel pair) executes after the forward returns.
+        with pltpu.force_tpu_interpret_mode():
+            g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.set_flash_backward("pallas")
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_flash, g_xla):
         np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_packed_matches_reference():
+    """Packed entry ([B,H,T,Sp] zero-lane-padded) fwd + grads vs XLA."""
+    from ldm_tf2_tpu.ops.flash_attention import (
+        flash_attention_packed,
+        lane_pad,
+    )
+
+    b, t, h, s = 1, 128, 2, 40
+    sp = lane_pad(s)
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = jax.random.normal(keys[0], (b, t, h, s))
+    k = jax.random.normal(keys[1], (b, t, h, s))
+    v = jax.random.normal(keys[2], (b, t, h, s))
+    cot = jax.random.normal(keys[3], (b, t, h, s))
+    scale = s**-0.5
+
+    def pack(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, sp - s)))
+
+    def loss_packed(q, k, v):
+        out = flash_attention_packed(pack(q), pack(k), pack(v), scale)
+        return jnp.sum(jnp.transpose(out[..., :s], (0, 2, 1, 3)) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_packed = flash_attention_packed(pack(q), pack(k), pack(v), scale)
+        g_packed = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    expected = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_packed)[..., :s], (0, 2, 1, 3)),
+        expected, rtol=2e-5, atol=2e-5,
+    )
+    # zero pad lanes stay zero through the kernel
+    np.testing.assert_array_equal(np.asarray(out_packed)[..., s:], 0.0)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_packed, g_ref):
+        np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4)
+
+
+def test_unet_packed_path_matches_xla():
+    """A UNet forward via the packed flash path == the XLA attention path
+    (same params; packed engages on the spatial self-attention)."""
+    from ldm_tf2_tpu.models import UNet
+    from ldm_tf2_tpu.ops import attention as attn
+
+    unet = UNet(
+        model_channels=32, out_channels=4, num_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2),
+        num_heads=2, context_channels=24, dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
+    t = jnp.array([5], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 24))
+    params = unet.init(jax.random.PRNGKey(2), x, t, ctx)
+
+    expected = unet.apply(params, x, t, ctx)
+    attn.set_attention_impl("flash")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = unet.apply(params, x, t, ctx)
+    finally:
+        attn.set_attention_impl("auto")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-4
+    )

@@ -42,6 +42,39 @@ def test_rejects_indivisible_heads():
         sequence_parallel_attention(x, x, x, mesh)
 
 
+def test_model_level_dispatch_matches_local():
+    """enable_sequence_parallel routes a full UNet forward through Ulysses
+    attention (self-attn only; kv=77 cross-attn falls through the guards)
+    and the result matches the local path."""
+    from ldm_tf2_tpu.models import UNet
+    from ldm_tf2_tpu.ops.attention import (
+        disable_sequence_parallel,
+        enable_sequence_parallel,
+    )
+
+    mesh = create_mesh({"data": 1, "model": 8})
+    unet = UNet(
+        model_channels=32, out_channels=4, num_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2),
+        num_heads=8, context_channels=24, dtype=jnp.float32,
+    )
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 4))
+    t = jnp.array([3, 7], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 24))
+    params = unet.init(jax.random.PRNGKey(2), x, t, ctx)
+
+    expected = unet.apply(params, x, t, ctx)
+    enable_sequence_parallel(mesh, min_seq_len=64)
+    try:
+        got = unet.apply(params, x, t, ctx)
+    finally:
+        disable_sequence_parallel()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_gradients_flow():
     mesh = create_mesh({"model": 8})
     keys = jax.random.split(jax.random.PRNGKey(1), 3)

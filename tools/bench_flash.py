@@ -35,7 +35,7 @@ def bench(fn, args, iters=10):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def main():
+def main(mode="fwd"):
     cases = [
         # (b, t, kv, h, s)  — U-Net levels at 256^2 and 512^2, AE middle
         (32, 1024, 1024, 8, 40),
@@ -43,23 +43,79 @@ def main():
         (8, 4096, 4096, 8, 40),
         (8, 4096, 4096, 1, 512),
     ]
+    from ldm_tf2_tpu.ops import flash_attention as fa
+
     for (b, t, kv, h, s) in cases:
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(ks[0], (b, t, h, s), jnp.bfloat16)
         k = jax.random.normal(ks[1], (b, kv, h, s), jnp.bfloat16)
         v = jax.random.normal(ks[2], (b, kv, h, s), jnp.bfloat16)
         scale = s**-0.5
-        f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale))
-        x = jax.jit(lambda q, k, v: _xla_attention(q, k, v, scale))
-        tf_ms = bench(f, (q, k, v))
-        tx_ms = bench(x, (q, k, v))
-        flops = 4 * b * h * t * kv * s
+        if mode == "fwd":
+            f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale))
+            x = jax.jit(lambda q, k, v: _xla_attention(q, k, v, scale))
+            flops = 4 * b * h * t * kv * s
+        else:
+            # grad wrt q/k/v: fwd + 5-matmul bwd.  Trace EAGERLY (lower())
+            # under each backward-impl flag — jit defers tracing to first
+            # call, which would otherwise see the restored global.
+            def make(impl):
+                fa.set_flash_backward(impl)
+                grad_fn = jax.grad(
+                    lambda q, k, v: jnp.sum(
+                        flash_attention(q, k, v, scale).astype(jnp.float32)
+                        ** 2
+                    ),
+                    argnums=(0, 1, 2),
+                )
+
+                def summed(q, k, v):
+                    gs = grad_fn(q, k, v)
+                    return sum(jnp.sum(g.astype(jnp.float32)) for g in gs)
+
+                out = jax.jit(summed).lower(q, k, v).compile()
+                fa.set_flash_backward("pallas")
+                return out
+
+            f = make("pallas")
+            x = make("xla")
+            flops = (4 + 10) * b * h * t * kv * s
+
+        if mode == "fwd":
+            def total(fn, args):
+                def g(*a):
+                    return jnp.sum(fn(*a).astype(jnp.float32))
+                return bench(jax.jit(g), args)
+        else:
+            def total(fn, args):
+                # Tunnel-proof timing: no eager ops between compiled calls
+                # (each is a synchronous round-trip here) and no
+                # block_until_ready (early-returns on this platform).  The
+                # device executes dispatches in order, so one host
+                # transfer of the LAST scalar syncs the whole batch; the
+                # constant RTT cancels by differencing two batch sizes.
+                def run_batch(iters):
+                    outs = [fn(*args) for _ in range(iters)]
+                    float(outs[-1])
+
+                def timed(iters):
+                    t0 = time.perf_counter()
+                    run_batch(iters)
+                    return time.perf_counter() - t0
+
+                run_batch(5)   # compile/warm-up
+                run_batch(5)   # absorbs first-use dispatch burst
+                t10, t30 = timed(10), timed(30)
+                return (t30 - t10) / 20 * 1e3
+
+        tf_ms = total(f, (q, k, v))
+        tx_ms = total(x, (q, k, v))
         print(
-            f"b{b} t{t} kv{kv} h{h} s{s}: flash {tf_ms:7.3f} ms "
-            f"({flops/tf_ms/1e9:6.1f} TF/s)  xla {tx_ms:7.3f} ms "
+            f"b{b} t{t} kv{kv} h{h} s{s}: flash-{mode} {tf_ms:7.3f} ms "
+            f"({flops/tf_ms/1e9:6.1f} TF/s)  xla-bwd/ref {tx_ms:7.3f} ms "
             f"({flops/tx_ms/1e9:6.1f} TF/s)"
         )
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "fwd")

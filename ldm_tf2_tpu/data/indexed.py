@@ -37,9 +37,22 @@ from ldm_tf2_tpu.data.example_proto import decode_example
 
 def build_index(filenames: Sequence[str]) -> np.ndarray:
     """[N, 3] int64 (file_idx, payload_offset, payload_length), scanning
-    record framing only (no payload reads)."""
+    record framing only (no payload reads).  Uses the C++ scanner
+    (native.scan_index) when available; Python fallback is bit-identical
+    (tests/test_native_loader.py)."""
+    from ldm_tf2_tpu.data import native
+
+    use_native = native.available()
     entries = []
     for file_idx, path in enumerate(filenames):
+        if use_native:
+            scanned = native.scan_index(path)
+            if scanned is not None:
+                if len(scanned):
+                    col = np.full((len(scanned), 1), file_idx, np.int64)
+                    entries.append(np.concatenate([col, scanned], axis=1))
+                continue
+        rows = []
         with open(path, "rb") as f:
             offset = 0
             while True:
@@ -47,15 +60,23 @@ def build_index(filenames: Sequence[str]) -> np.ndarray:
                 if len(header) < 12:
                     break
                 (length,) = struct.unpack("<Q", header[:8])
-                entries.append((file_idx, offset + 12, length))
+                rows.append((file_idx, offset + 12, length))
                 offset += 12 + length + 4
                 f.seek(offset)
+        if rows:
+            entries.append(np.asarray(rows, dtype=np.int64))
     if not entries:
         raise ValueError(f"no records found in {len(filenames)} files")
-    return np.asarray(entries, dtype=np.int64)
+    return np.concatenate(entries, axis=0)
 
 
 def _read_record(path: str, offset: int, length: int) -> bytes:
+    from ldm_tf2_tpu.data import native
+
+    if native.available():
+        data = native.pread(path, offset, length)
+        if data is not None:
+            return data
     with open(path, "rb") as f:
         f.seek(offset)
         return f.read(length)

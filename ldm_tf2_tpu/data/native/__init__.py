@@ -85,6 +85,16 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.ldm_tfrecord_scan.restype = ctypes.c_long
+        lib.ldm_tfrecord_scan.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ]
+        lib.ldm_free.argtypes = [ctypes.c_void_p]
+        lib.ldm_pread.restype = ctypes.c_long
+        lib.ldm_pread.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -165,6 +175,32 @@ def example_caption(record: bytes, max_len: int = 77) -> np.ndarray | None:
     if rc < 0:
         return None
     return out
+
+
+def scan_index(path: str) -> np.ndarray | None:
+    """[N, 2] int64 (payload_offset, payload_length) via the C framing
+    scanner (payloads fseek'd over, not read)."""
+    lib = _load()
+    ptr = ctypes.POINTER(ctypes.c_int64)()
+    n = lib.ldm_tfrecord_scan(path.encode(), ctypes.byref(ptr))
+    if n < 0:
+        return None
+    try:
+        if n == 0:
+            return np.zeros((0, 2), dtype=np.int64)
+        return np.ctypeslib.as_array(ptr, shape=(n, 2)).copy()
+    finally:
+        lib.ldm_free(ptr)
+
+
+def pread(path: str, offset: int, length: int) -> bytes | None:
+    """Positioned single-record read (indexed pipeline's fetch path)."""
+    lib = _load()
+    out = (ctypes.c_uint8 * length)()
+    got = lib.ldm_pread(path.encode(), offset, length, out)
+    if got != length:
+        return None
+    return bytes(out)
 
 
 def decode_and_process(

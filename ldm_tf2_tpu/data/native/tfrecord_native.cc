@@ -258,6 +258,53 @@ const uint8_t* ldm_tfrecord_record(void* h, long i, size_t* len) {
 
 void ldm_tfrecord_close(void* h) { delete static_cast<RecordFile*>(h); }
 
+// Framing-only scan for the indexed (resumable) pipeline
+// (data/indexed.py::build_index): returns N and allocates *out as
+// [N * 2] int64 (payload_offset, payload_length) pairs — payloads are
+// skipped with fseek, so indexing a shard costs O(records) seeks, not a
+// full read.  Caller frees with ldm_free.
+long ldm_tfrecord_scan(const char* path, int64_t** out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<int64_t> entries;
+  uint8_t header[12];
+  int64_t pos = 0;
+  for (;;) {
+    if (fread(header, 1, 12, f) != 12) break;
+    uint64_t length;
+    memcpy(&length, header, 8);
+    entries.push_back(pos + 12);
+    entries.push_back(int64_t(length));
+    pos += 12 + int64_t(length) + 4;
+    if (fseek(f, long(pos), SEEK_SET) != 0) {
+      fclose(f);
+      return -1;
+    }
+  }
+  fclose(f);
+  *out = static_cast<int64_t*>(malloc(entries.size() * sizeof(int64_t)));
+  if (!*out) return -1;
+  memcpy(*out, entries.data(), entries.size() * sizeof(int64_t));
+  return long(entries.size() / 2);
+}
+
+void ldm_free(void* p) { free(p); }
+
+// Single-record positioned read (indexed pipeline's per-sample fetch).
+// Returns bytes read, or -1 on open/short-read failure.
+long ldm_pread(const char* path, int64_t offset, int64_t length,
+               uint8_t* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  if (fseek(f, long(offset), SEEK_SET) != 0) {
+    fclose(f);
+    return -1;
+  }
+  size_t got = fread(out, 1, size_t(length), f);
+  fclose(f);
+  return got == size_t(length) ? long(got) : -1;
+}
+
 // Extract the raw bytes of feature `name`'s first bytes_list entry.
 long ldm_example_bytes(const uint8_t* rec, size_t len, const char* name,
                        const uint8_t** out, size_t* out_len) {

@@ -32,6 +32,33 @@ def test_native_record_file(tmp_path):
     rf.close()
 
 
+def test_native_scan_index_and_pread(tmp_path):
+    """C++ framing scan == Python build_index; pread == seek+read."""
+    from ldm_tf2_tpu.data.indexed import build_index
+
+    path = str(tmp_path / "t.tfrecord")
+    records = [b"one", b"", b"x" * 5000, b"tail"]
+    with TFRecordWriter(path) as w:
+        for r in records:
+            w.write(r)
+
+    scanned = native.scan_index(path)
+    assert scanned is not None
+
+    native.set_enabled(False)
+    try:
+        expected = build_index([path])  # pure-Python scanner
+    finally:
+        native.set_enabled(True)
+    np.testing.assert_array_equal(scanned, expected[:, 1:])
+    # build_index with native enabled agrees too (incl. file_idx column)
+    np.testing.assert_array_equal(build_index([path]), expected)
+
+    for (off, length), rec in zip(scanned, records):
+        assert native.pread(path, int(off), int(length)) == rec
+    assert native.scan_index(str(tmp_path / "missing")) is None
+
+
 def test_native_example_parse():
     rec = encode_example({"image": b"jpegbytes", "caption": [101, 7592, 102]})
     assert native.example_image_bytes(rec) == b"jpegbytes"

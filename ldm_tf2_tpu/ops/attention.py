@@ -119,11 +119,23 @@ def _use_sequence_parallel(q, k) -> bool:
     )
 
 
+_PACKED_ENABLED = True
+
+
+def set_packed_flash(flag: bool) -> None:
+    """A/B switch for the packed flash path (models fall back to the
+    generic [B,T,H,S] dispatch when disabled)."""
+    global _PACKED_ENABLED
+    _PACKED_ENABLED = bool(flag)
+
+
 def use_packed_flash(q_len: int, kv_len: int, num_heads: int) -> bool:
     """True when the packed flash entry (`flash_attention_packed`, fed by
     packed=True projections) is the active dispatch for this shape: flash
     would be selected and sequence-parallel attention is not claiming it.
     Lets modules skip the [B,T,H,S] relayout entirely."""
+    if not _PACKED_ENABLED:
+        return False
     if _SP_STATE is not None:
         mesh, axis, min_seq_len = _SP_STATE
         p = mesh.shape[axis]

@@ -66,15 +66,21 @@ def _pick_blocks(sp: int) -> tuple[int, int]:
     return 128, 128
 
 
-def _pick_blocks_bwd(sp: int) -> tuple[int, int]:
-    """(block_q, block_k) for the backward kernels' larger working sets.
+def _pick_blocks_bwd(sp: int, q_len: int = 4096) -> tuple[int, int]:
+    """(block_q, block_k) for the backward kernels.
 
-    Residency model (f32 worst case, double-buffered streamed inputs):
-    the dq kernel keeps q/do/dq_acc/lse/di per q-block and streams k,v;
-    the dkv kernel keeps k/v/dk_acc/dv_acc per kv-block and streams
-    q/do/lse/di.  Whichever is larger must fit the ~9 MiB budget used by
-    the forward's `_pick_blocks`.
+    sp=128 sizes come from an on-device sweep (/tmp-tooling recorded in
+    NEXT.md): at 1024 tokens (512, 1024) is 27% faster than (1024, 512) —
+    two grid steps per stream let the input pipeline double-buffer, where
+    a single-step grid cannot overlap; at 4096 tokens (1024, 1024) wins.
+    Larger head dims fall back to the VMEM residency model (measured
+    optimal (512, 256) at sp=512): the dq kernel keeps q/do/dq_acc/lse/di
+    per q-block and streams k,v; the dkv kernel keeps k/v/dk_acc/dv_acc
+    per kv-block and streams q/do/lse/di; whichever is larger must fit
+    the ~9 MiB budget used by the forward's `_pick_blocks`.
     """
+    if sp <= 128:
+        return (512, 1024) if q_len <= 1024 else (1024, 1024)
     budget = 9 * 1024 * 1024
     for bq, bk in ((1024, 512), (512, 512), (512, 256), (256, 256),
                    (256, 128), (128, 128)):
@@ -339,13 +345,14 @@ def _dkv_kernel(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _backward_packed(qt, kt, vt, ot, lse, dot, scale):
+def _backward_packed(qt, kt, vt, ot, lse, dot, scale,
+                     block_q=None, block_k=None):
     """Core backward on the packed layout ([BH, T, Sp] operands)."""
     bh, q_len, sp = qt.shape
     kv_len = kt.shape[1]
-    auto_q, auto_k = _pick_blocks_bwd(sp)
-    block_q = min(auto_q, _round_up(q_len, 8))
-    block_k = min(auto_k, _round_up(kv_len, _LANE))
+    auto_q, auto_k = _pick_blocks_bwd(sp, q_len)
+    block_q = min(block_q or auto_q, _round_up(q_len, 8))
+    block_k = min(block_k or auto_k, _round_up(kv_len, _LANE))
     q_pad = _round_up(q_len, block_q)
     kv_pad = _round_up(kv_len, block_k)
 

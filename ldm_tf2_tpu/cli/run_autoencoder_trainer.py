@@ -69,8 +69,11 @@ def main(_):
     # batch_size in the config is per-device; global = per-device * |data|.
     params_cfg = dict(training["params"])
     batch_size = params_cfg["batch_size"] * mesh.shape["data"]
-    params_cfg["batch_size"] = batch_size
-    filenames = shard_for_process(list_tfrecords(training["root_path"]))
+    # The loader yields this process's slice of the global batch; under a
+    # single process that IS the global batch.
+    params_cfg["batch_size"] = batch_size // jax.process_count()
+    all_filenames = list_tfrecords(training["root_path"])
+    filenames = shard_for_process(all_filenames)
 
     def make_dataset(start_step: int):
         """Built after checkpoint restore; tpu.deterministic_data selects
@@ -78,11 +81,15 @@ def main(_):
         if tpu_cfg.get("deterministic_data"):
             from ldm_tf2_tpu.data.indexed import create_indexed_dataset
 
+            # Shards the global permutation, not files (exact single-host
+            # equivalence; see run_ldm_trainer.py).
             return create_indexed_dataset(
-                filenames,
+                all_filenames,
                 **params_cfg,
                 random_seed=FLAGS.seed,
                 start_step=start_step,
+                shard_index=jax.process_index(),
+                shard_count=jax.process_count(),
             )
         return create_dataset(
             filenames, **params_cfg, random_seed=FLAGS.seed

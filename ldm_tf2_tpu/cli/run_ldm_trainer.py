@@ -60,10 +60,13 @@ def main(_):
     # Data.  batch_size in the config is per-device (the reference is
     # single-device so the numbers coincide at data=1); the global batch is
     # batch_size * |data axis|.
-    filenames = shard_for_process(list_tfrecords(training["root_path"]))
+    all_filenames = list_tfrecords(training["root_path"])
+    filenames = shard_for_process(all_filenames)
     params_cfg = dict(training["params"])
     batch_size = params_cfg["batch_size"] * mesh.shape["data"]
-    params_cfg["batch_size"] = batch_size
+    # The loader yields this process's slice of the global batch; under a
+    # single process that IS the global batch.
+    params_cfg["batch_size"] = batch_size // jax.process_count()
 
     def make_dataset(start_step: int):
         """Built after checkpoint restore: with tpu.deterministic_data the
@@ -72,12 +75,17 @@ def main(_):
         if tpu_cfg.get("deterministic_data"):
             from ldm_tf2_tpu.data.indexed import create_indexed_dataset
 
+            # Indexed loader shards the *global permutation* (not files):
+            # every host sees the same seeded global batch at step s and
+            # materializes its own slice — exact single-host equivalence.
             return create_indexed_dataset(
-                filenames,
+                all_filenames,
                 **params_cfg,
                 max_seq_len=config["cond_stage_model"]["max_seq_len"],
                 random_seed=FLAGS.seed,
                 start_step=start_step,
+                shard_index=jax.process_index(),
+                shard_count=jax.process_count(),
             )
         return create_dataset(
             filenames,

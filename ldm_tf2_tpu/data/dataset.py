@@ -188,6 +188,11 @@ def create_dataset(
     when "caption" in keys — mirroring the reference's element spec
     (dataset.py:138-146).  Decoding runs in a thread pool; `prefetch`
     batches are staged ahead of the consumer.
+
+    Multi-host: shard the *files* per process first (`shard_for_process`)
+    and pass `batch_size = global // process_count`; the indexed loader
+    (data/indexed.py) instead slices a shared global permutation, which
+    keeps exact single-host equivalence.
     """
     from concurrent.futures import ThreadPoolExecutor
 

@@ -130,18 +130,31 @@ def create_indexed_dataset(
     start_step: int = 0,
     prefetch: int = 2,
     num_workers: int = 8,
+    shard_index: int = 0,
+    shard_count: int = 1,
 ) -> Iterator:
     """Infinite deterministic iterator; batch at global step s is a pure
     function of (random_seed, s).  Same element spec as
-    ``dataset.create_dataset``."""
+    ``dataset.create_dataset``.
+
+    Multi-host: pass ``shard_index=jax.process_index()``,
+    ``shard_count=jax.process_count()``.  The *global* batch at step s is
+    the same seeded permutation slice on every host (size ``batch_size *
+    shard_count``); this process materializes only its ``batch_size``-row
+    slice of it, so concatenating the per-host batches in shard order
+    reproduces the single-host run exactly (test_data.py).
+    """
     from concurrent.futures import ThreadPoolExecutor
 
+    if not (0 <= shard_index < shard_count):
+        raise ValueError(f"shard {shard_index} not in [0, {shard_count})")
     seed = 0 if random_seed is None else int(random_seed)
     index = build_index(filenames)
     n = len(index)
-    if n < batch_size:
-        raise ValueError(f"{n} records < batch_size {batch_size}")
-    steps_per_epoch = n // batch_size  # drop remainder (dataset.py:145)
+    global_batch = batch_size * shard_count
+    if n < global_batch:
+        raise ValueError(f"{n} records < global batch {global_batch}")
+    steps_per_epoch = n // global_batch  # drop remainder (dataset.py:145)
     with_captions = "caption" in keys
     pool = ThreadPoolExecutor(max_workers=num_workers)
 
@@ -168,7 +181,8 @@ def create_indexed_dataset(
                             [seed, epoch]
                         ).permutation(n)
                         perm_epoch = epoch
-                    ids = perm[local * batch_size : (local + 1) * batch_size]
+                    start = local * global_batch + shard_index * batch_size
+                    ids = perm[start : start + batch_size]
                     futures = [
                         pool.submit(load_one, epoch, int(i)) for i in ids
                     ]

@@ -64,7 +64,18 @@ def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Multi-host: each process passes its own slice of the global batch (the
+    loaders' shard_index/shard_count yield exactly that) and the slices are
+    assembled into one global sharded array."""
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                data_sharding(mesh, np.ndim(x)), np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
     )

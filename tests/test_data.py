@@ -195,6 +195,27 @@ def test_indexed_dataset_deterministic_resume(tmp_path):
         np.testing.assert_array_equal(imgs_b, run_a[s][0])
         np.testing.assert_array_equal(caps_b, run_a[s][1])
 
+    # multi-host sharding: two shard-iterators (shard_count=2, local batch
+    # 1) concatenated in shard order == the single-host batch-2 run —
+    # exact single-host equivalence of the global permutation slice.
+    it_s0 = create_indexed_dataset(
+        files, shard_index=0, shard_count=2,
+        **{**kwargs, "batch_size": 1},
+    )
+    it_s1 = create_indexed_dataset(
+        files, shard_index=1, shard_count=2,
+        **{**kwargs, "batch_size": 1},
+    )
+    for s in range(8):
+        imgs0, caps0 = next(it_s0)
+        imgs1, caps1 = next(it_s1)
+        np.testing.assert_array_equal(
+            np.concatenate([imgs0, imgs1]), run_a[s][0]
+        )
+        np.testing.assert_array_equal(
+            np.concatenate([caps0, caps1]), run_a[s][1]
+        )
+
     # every record appears exactly once per epoch
     for epoch in range(2):
         ids = np.concatenate(

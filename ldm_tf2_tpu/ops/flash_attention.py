@@ -266,7 +266,7 @@ def _xla_reference(q, k, v, scale):
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_acc, *,
-    scale, block_k,
+    scale, block_k, kv_len, masked,
 ):
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -286,8 +286,15 @@ def _dq_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [BQ, BK]
-    # Zero-padded tail keys need no mask here: their k/v rows are zero, so
-    # dp's columns and the ds@k contribution both vanish identically.
+    if masked:
+        # Padded tail keys: their k/v rows are zero so their columns never
+        # contribute to dq, BUT p = exp(0 - lse) can overflow to inf for
+        # extremely negative lse, and inf * 0 = NaN inside the ds @ k
+        # matmul would poison real rows.  Mask like the forward does.
+        key_idx = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -304,7 +311,7 @@ def _dq_kernel(
 
 def _dkv_kernel(
     q_ref, do_ref, lse_ref, di_ref, k_ref, v_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, scale, block_k,
+    dk_acc, dv_acc, *, scale, block_k, kv_len, masked,
 ):
     q_idx = pl.program_id(2)
     num_q = pl.num_programs(2)
@@ -326,7 +333,16 @@ def _dkv_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [BQ, BK]
     # Zero-padded tail q rows carry do == 0 and di == 0, so both the p^T@do
-    # and ds^T@q contributions from them vanish — no masking needed.
+    # and ds^T@q contributions from them vanish without masking.  Padded
+    # tail KEY columns do need the same overflow guard as _dq_kernel
+    # (their dk/dv rows are sliced off, but inf would NaN the row-slice
+    # boundary via 0*inf in the accumulating matmuls).
+    if masked:
+        kv_idx = pl.program_id(1)
+        key_idx = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
     p = jnp.exp(s - lse)
     dv_acc[:] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -382,7 +398,8 @@ def _backward_packed(qt, kt, vt, ot, lse, dot, scale,
 
     flops_qk = 2 * bh * q_len * kv_len * sp
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, block_k=block_k),
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k,
+                          kv_len=kv_len, masked=kv_len != kv_pad),
         grid=(bh, q_pad // block_q, kv_pad // block_k),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
         out_specs=q_spec,
@@ -406,7 +423,8 @@ def _backward_packed(qt, kt, vt, ot, lse, dot, scale,
     kv_spec_t = pl.BlockSpec((1, block_k, sp), lambda bh, j, i: (bh, j, 0),
                              memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, block_k=block_k),
+        functools.partial(_dkv_kernel, scale=scale, block_k=block_k,
+                          kv_len=kv_len, masked=kv_len != kv_pad),
         grid=(bh, kv_pad // block_k, q_pad // block_q),
         in_specs=[q_spec_t, q_spec_t, row_spec_t, row_spec_t,
                   kv_spec_t, kv_spec_t],

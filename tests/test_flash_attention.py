@@ -138,3 +138,27 @@ def test_unet_packed_path_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-4
     )
+
+
+def test_flash_backward_extreme_logits_ragged_kv():
+    """Padded tail keys + extremely negative lse: without masking in the
+    backward kernels, p = exp(0 - lse) overflows and 0*inf NaNs the real
+    gradients.  kv=100 pads to 128, logits ~ -1.4e3."""
+    b, t, kv, h, s = 1, 128, 100, 1, 32
+    q = jnp.full((b, t, h, s), 5.0)
+    k = jnp.full((b, kv, h, s), -5.0)
+    v = jnp.ones((b, kv, h, s))
+    scale = s**-0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_xla):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-5)

@@ -23,7 +23,9 @@ def sync(x):
     return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
 
 
-def bench_ldm(batch=8, image=256, remat=None):
+def build_ldm_step(batch=8, image=256, remat=None):
+    """(step, state, ae_params, images, ids, key) for the full LDM train
+    step — shared by bench_ldm and tools/profile_pipeline.py."""
     from ldm_tf2_tpu.diffusion import make_schedule
     from ldm_tf2_tpu.models import AutoencoderKL, TransformerModel, UNet
     from ldm_tf2_tpu.training.ldm_trainer import (
@@ -87,6 +89,13 @@ def bench_ldm(batch=8, image=256, remat=None):
 
     images = jax.random.normal(key, (batch, image, image, 3))
     ids = jax.random.randint(key, (batch, 77), 0, 30522)
+    return step, state, ae_params, images, ids, key
+
+
+def bench_ldm(batch=8, image=256, remat=None):
+    step, state, ae_params, images, ids, key = build_ldm_step(
+        batch=batch, image=image, remat=remat
+    )
 
     print("[bench_train] compiling...", flush=True)
     t0 = time.perf_counter()

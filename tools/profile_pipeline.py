@@ -72,6 +72,28 @@ def summarize_perfetto(trace_dir):
         print(f"  {v:10.2f} ms  {100*v/max(total,1e-9):5.1f}%  {k}")
 
 
+def build_train_step(batch=8, image=256):
+    """Full LDM train step (frozen-AE encode + cond fwd + U-Net fwd/bwd +
+    AdamW), same construction as tools/bench_train.py.  The step donates
+    its state, so the closure threads it internally."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_train
+
+    step, state, ae_params, images, ids, key = bench_train.build_ldm_step(
+        batch=batch, image=image, remat=True
+    )
+    holder = {"state": state}
+
+    def fn():
+        new_state, metrics = step(
+            holder["state"], ae_params, images, ids, key
+        )
+        holder["state"] = new_state
+        return metrics
+
+    return fn, ()
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "unet"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ldm_trace"
@@ -79,8 +101,12 @@ def main():
         fn, args = build_unet_eval(batch=4, latent=64)
     elif mode == "unet":
         fn, args = build_unet_eval()
+    elif mode == "train":
+        fn, args = build_train_step()
     else:
-        raise SystemExit(f"unknown mode {mode!r} (use: unet | unet512)")
+        raise SystemExit(
+            f"unknown mode {mode!r} (use: unet | unet512 | train)"
+        )
     print("[profile] compiling...", flush=True)
     out = fn(*args)
     jax.block_until_ready(out)
@@ -89,7 +115,8 @@ def main():
         for _ in range(3):
             out = fn(*args)
         jax.block_until_ready(out)
-        float(jnp.sum(out[0, 0, 0]))
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(jnp.ravel(leaf)[0]))
     summarize_perfetto(outdir)
 
 

@@ -203,8 +203,11 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "ae":
         bench_ae(batch=batch, image=image)
     else:
+        # Default no-remat: fits HBM up to batch 16 at 256^2 / batch 2 at
+        # 512^2 and is 8-13% faster; remat is the lever beyond that
+        # (LDM_BENCH_REMAT=1).
         remat_env = os.environ.get("LDM_BENCH_REMAT")
         bench_ldm(
             batch=batch, image=image,
-            remat=remat_env != "0" if remat_env is not None else True,
+            remat=remat_env == "1" if remat_env is not None else False,
         )

@@ -60,12 +60,18 @@ def make_optimizer(
     decay_steps: int | None = None,
     end_learning_rate_factor: float = 0.1,
     clip_grad_norm: float | None = None,
+    mu_dtype: str | None = None,
 ) -> optax.GradientTransformation:
     """AdamW matching the reference's latent_diffusion_optimizer section
     (all_in_one_config.yaml:125-130), with additive (beyond-reference)
     stability options: linear warmup, cosine decay, and global-norm
     gradient clipping — all off by default so the reference's fixed-LR
-    behavior is preserved."""
+    behavior is preserved.
+
+    mu_dtype="bfloat16" stores the Adam first moment in bf16 — frees
+    1.75 GB of HBM on the 0.87B U-Net (the 256^2 batch-32 train step
+    misses fitting by ~0.2 GB with f32 moments).  f32 masters and the
+    f32 second moment are untouched."""
     if decay_steps:
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0,
@@ -84,8 +90,13 @@ def make_optimizer(
         )
     else:
         lr = learning_rate
+    if mu_dtype not in (None, "float32", "bfloat16"):
+        raise ValueError(
+            f"mu_dtype must be null|float32|bfloat16, got {mu_dtype!r}"
+        )
     tx = optax.adamw(
-        lr, b1=beta_1, b2=beta_2, eps=epsilon, weight_decay=weight_decay
+        lr, b1=beta_1, b2=beta_2, eps=epsilon, weight_decay=weight_decay,
+        mu_dtype=jnp.bfloat16 if mu_dtype == "bfloat16" else None,
     )
     if clip_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)

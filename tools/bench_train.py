@@ -43,7 +43,10 @@ def build_ldm_step(batch=8, image=256, remat=None):
     )
     ae = AutoencoderKL(dtype=dtype)
     schedule = make_schedule(beta_start=0.00085, beta_end=0.012)
-    optimizer = make_optimizer()
+    # LDM_BENCH_MU_DTYPE=bfloat16 stores Adam mu in bf16 (frees 1.75 GB).
+    optimizer = make_optimizer(
+        mu_dtype=os.environ.get("LDM_BENCH_MU_DTYPE")
+    )
 
     key = jax.random.PRNGKey(0)
     latent = image // 8

@@ -177,6 +177,7 @@ def main(_):
             null_token_ids=null_ids,
             remat_unet=bool(tpu_cfg.get("remat", False)),
             ema_decay=ema_decay,
+            encode_chunks=int(tpu_cfg.get("encode_chunks", 1)),
         ),
         donate_argnums=(0,),
     )

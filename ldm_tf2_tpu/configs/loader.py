@@ -51,6 +51,9 @@ _TPU_DEFAULTS: dict[str, Any] = {
     # deterministically. Off by default (the streaming loader mirrors the
     # reference's shuffle-buffer semantics).
     "deterministic_data": False,
+    # Serialize the frozen-AE encode over N sub-batches in the LDM train
+    # step (transient-activation peak divider for 512^2+; zero FLOP cost).
+    "encode_chunks": 1,
     "persist_per_iterations": None,
     "log_per_iterations": 100,
 }

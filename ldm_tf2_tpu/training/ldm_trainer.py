@@ -115,6 +115,7 @@ def make_ldm_train_step(
     null_token_ids: jnp.ndarray | None = None,
     remat_unet: bool = False,
     ema_decay: float | None = None,
+    encode_chunks: int = 1,
 ):
     """Build the jitted LDM train step.
 
@@ -148,6 +149,29 @@ def make_ldm_train_step(
             )
 
         unet_apply = jax.checkpoint(_unet_positional, static_argnums=(5,))
+
+    if encode_chunks > 1:
+        # lax.map serializes the frozen-AE encode over sub-batches,
+        # dividing its transient-activation peak at zero FLOP cost.
+        # Measured: does NOT move the 512^2 batch-12 OOM (that peak is
+        # inside the U-Net fwd/bwd); it is the lever for 1024^2+ images,
+        # where the encoder's full-res conv maps (0.25 GB per feature map
+        # per image at 1024^2 bf16) genuinely dominate.
+        base_encode = encode_latents
+
+        def encode_latents(ae_params, images, key):  # noqa: F811
+            b = images.shape[0]
+            if b % encode_chunks:
+                return base_encode(ae_params, images, key)
+            chunked = images.reshape(
+                (encode_chunks, b // encode_chunks) + images.shape[1:]
+            )
+            keys = jax.random.split(key, encode_chunks)
+            out = jax.lax.map(
+                lambda args: base_encode(ae_params, args[0], args[1]),
+                (chunked, keys),
+            )
+            return out.reshape((b,) + out.shape[2:])
 
     def loss_fn(trainable, frozen_cond, ae_params, images, token_ids, rng):
         unet_params = trainable["unet"]

@@ -333,3 +333,34 @@ def test_ae_train_steps(tiny_ae_setup):
     bs0 = jax.tree.leaves(d_variables["batch_stats"])[0]
     bs1 = jax.tree.leaves(state.d_batch_stats)[0]
     assert not np.allclose(bs0, bs1)
+
+
+def test_ldm_train_step_encode_chunks(tiny_ldm):
+    """encode_chunks serializes the frozen-AE encode (HBM peak divider at
+    512^2): the chunked step trains identically in structure — finite
+    decreasing-capable loss, params move — and an indivisible batch falls
+    back to the unchunked path."""
+    _, _, _, unet_params, cond_params, ae_params = tiny_ldm
+    schedule = make_schedule(num_steps=100, num_ddim_steps=10)
+    optimizer = make_optimizer(learning_rate=1e-3)
+    step_fn = jax.jit(
+        build_step(tiny_ldm, schedule, optimizer, encode_chunks=2)
+    )
+
+    state = init_ldm_train_state(unet_params, cond_params, optimizer)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, IMG, IMG, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (4, 8), 0, 64)
+    state, metrics = step_fn(state, ae_params, images, ids,
+                             jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    leaf0 = jax.tree.leaves(unet_params)[0]
+    leaf1 = jax.tree.leaves(state.unet_params)[0]
+    assert not np.allclose(leaf0, leaf1)
+
+    # batch 3 not divisible by 2 -> unchunked fallback still works
+    state2 = init_ldm_train_state(unet_params, cond_params, optimizer)
+    images3 = images[:3]
+    ids3 = ids[:3]
+    state2, metrics2 = step_fn(state2, ae_params, images3, ids3,
+                               jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics2["loss"]))

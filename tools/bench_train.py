@@ -85,6 +85,7 @@ def build_ldm_step(batch=8, image=256, remat=None):
             unet_apply, cond_apply, encode_latents, schedule, optimizer,
             null_token_ids=jnp.array([101, 102] + [0] * 75, jnp.int32),
             remat_unet=remat,
+            encode_chunks=int(os.environ.get("LDM_BENCH_ENCODE_CHUNKS", "1")),
         ),
         donate_argnums=(0,),
     )

@@ -54,10 +54,13 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_params(directory: str, params: Any) -> None:
-    """Save a bare param pytree (pretrained-weight artifact)."""
+def save_params(directory: str, params: Any, overwrite: bool = False) -> None:
+    """Save a bare param pytree (pretrained-weight artifact).
+
+    overwrite=True replaces an existing artifact atomically (Orbax
+    `force`), for re-runnable export flows."""
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(directory), params)
+    ckptr.save(os.path.abspath(directory), params, force=overwrite)
     ckptr.wait_until_finished()
 
 

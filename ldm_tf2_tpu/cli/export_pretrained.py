@@ -10,6 +10,8 @@ run_ldm_sampler.py:70-75 + README).
 
   python -m ldm_tf2_tpu.cli.export_pretrained \
       --config_path config.yaml --out_dir exported [--use_ema=false]
+  python -m ldm_tf2_tpu.cli.export_pretrained \
+      --config_path config.yaml --which autoencoder --out_dir exported
 """
 
 from __future__ import annotations
@@ -22,6 +24,11 @@ from ldm_tf2_tpu.cli._flags import define_string
 
 define_string("config_path", None, "Path to yaml config file.")
 define_string("out_dir", "exported", "Output directory for the artifacts.")
+define_string(
+    "which", "ldm",
+    "Which training checkpoint to export: ldm (unet + cond model) or "
+    "autoencoder.",
+)
 flags.DEFINE_bool(
     "use_ema", True,
     "Prefer EMA weights when present in the checkpoint (recommended).",
@@ -30,16 +37,10 @@ flags.DEFINE_bool(
 FLAGS = flags.FLAGS
 
 
-def main(_):
+def _restore_latest(ckpt_dir: str):
     import orbax.checkpoint as ocp
 
-    from ldm_tf2_tpu.checkpoints.manager import save_params
-    from ldm_tf2_tpu.configs import load_config
-
-    config = load_config(FLAGS.config_path)
-    ckpt_dir = os.path.abspath(config["ldm_training"]["ckpt_path"])
-
-    mgr = ocp.CheckpointManager(ckpt_dir)
+    mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
     step = mgr.latest_step()
     if step is None:
         raise SystemExit(f"no checkpoints under {ckpt_dir}")
@@ -48,6 +49,32 @@ def main(_):
     state = mgr.restore(step, args=ocp.args.StandardRestore())
     mgr.close()
     print(f"[INFO] Restored training checkpoint at step {step}.")
+    return state
+
+
+def main(_):
+    import jax
+    import numpy as np
+
+    from ldm_tf2_tpu.checkpoints.manager import save_params
+    from ldm_tf2_tpu.configs import load_config
+
+    config = load_config(FLAGS.config_path)
+
+    if FLAGS.which == "autoencoder":
+        state = _restore_latest(config["autoencoder_training"]["ckpt_path"])
+        out = os.path.join(FLAGS.out_dir, "autoencoder-1")
+        os.makedirs(FLAGS.out_dir, exist_ok=True)
+        print(f"[INFO] Saving {out} ...")
+        save_params(out, jax.tree.map(np.asarray, state["ae_params"]),
+                    overwrite=True)
+        print("[INFO] Done. Point pre_ckpt_paths.autoencoder at this "
+              "artifact.")
+        return
+    if FLAGS.which != "ldm":
+        raise SystemExit(f"--which must be ldm|autoencoder, got {FLAGS.which}")
+
+    state = _restore_latest(config["ldm_training"]["ckpt_path"])
 
     ema = state.get("ema_params") if isinstance(state, dict) else None
     if FLAGS.use_ema and ema is not None:
@@ -60,9 +87,6 @@ def main(_):
         unet_params = state["unet_params"]
         cond_params = state["cond_params"]
 
-    import jax
-    import numpy as np
-
     os.makedirs(FLAGS.out_dir, exist_ok=True)
     for name, params in (("unet-1", unet_params),
                          ("transformer-1", cond_params)):
@@ -70,7 +94,7 @@ def main(_):
         print(f"[INFO] Saving {out} ...")
         # materialize to host numpy: strips the training run's mesh
         # sharding so the artifact loads on any topology
-        save_params(out, jax.tree.map(np.asarray, params))
+        save_params(out, jax.tree.map(np.asarray, params), overwrite=True)
     print(
         "[INFO] Done. Point pre_ckpt_paths.unet / .cond_stage_model at these "
         "artifacts (the autoencoder artifact is unchanged by LDM training)."

@@ -180,7 +180,8 @@ def main(_):
     n_data = mesh.shape["data"]
     if shape[0] % n_data == 0:
         print(f"[INFO] Sampling data-parallel over mesh {mesh}.")
-        params = replicate(params, mesh)
+        if not config["tpu"]["sequence_parallel"]:
+            params = replicate(params, mesh)
         token_ids = shard_batch(token_ids, mesh)
     elif n_data > 1:
         print(

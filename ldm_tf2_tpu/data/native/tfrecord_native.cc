@@ -282,6 +282,12 @@ long ldm_tfrecord_scan(const char* path, int64_t** out) {
     }
   }
   fclose(f);
+  if (entries.empty()) {
+    // malloc(0) may legally return NULL; report a successful empty scan
+    // explicitly instead of misclassifying it as failure.
+    *out = nullptr;
+    return 0;
+  }
   *out = static_cast<int64_t*>(malloc(entries.size() * sizeof(int64_t)));
   if (!*out) return -1;
   memcpy(*out, entries.data(), entries.size() * sizeof(int64_t));

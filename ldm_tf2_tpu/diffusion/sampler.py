@@ -85,14 +85,6 @@ def ddim_step(
     return mean + sigma * noise, pred_x0
 
 
-def build_cfg_context(context: jnp.ndarray) -> jnp.ndarray:
-    """Reorder a [2B, ...] context (uncond half then cond half) — shape-derived
-    replacement for the reference's hard-coded ``context[:4]`` split
-    (model_runners.py:480-482)."""
-    batch = context.shape[0] // 2
-    return jnp.concatenate([context[:batch], context[batch:]], axis=0)
-
-
 def ddim_sample_loop(
     eps_model: EpsModel,
     schedule: DiffusionSchedule,

@@ -1,0 +1,16 @@
+"""Sample-quality evaluation: FID (Fréchet distance over deep features)
+and CLIP score (weights-gated)."""
+
+from ldm_tf2_tpu.eval.fid import (
+    compute_statistics,
+    fid_from_features,
+    frechet_distance,
+    vgg_feature_extractor,
+)
+
+__all__ = [
+    "frechet_distance",
+    "compute_statistics",
+    "fid_from_features",
+    "vgg_feature_extractor",
+]

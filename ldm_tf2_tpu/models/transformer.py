@@ -39,7 +39,8 @@ class Projection(nn.Module):
     layout [B,H,T,Sp] with the head dim zero-padded to the 128-lane tile —
     the pad is folded into the projection weights (a few-hundred-KB weight
     copy) so the attention op needs no activation relayout.  Param shapes
-    are identical in both modes (checkpoint contract preserved,
+    are identical in both modes (checkpoint contract preserved — see this
+    repo's checkpoints/convert_pytorch.py, which mirrors the reference's
     convert_ckpt_pytorch_to_tf2.py:28-41).
     """
 

@@ -31,6 +31,7 @@ from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ldm_tf2_tpu.models.transformer import Projection
 from ldm_tf2_tpu.ops.attention import dot_product_attention
@@ -461,7 +462,11 @@ class UNet(nn.Module):
         )(nn.silu(t))
 
         # Input trunk: skip activations pushed after every block
-        # (unet.py:129-132).
+        # (unet.py:129-132).  Block outputs are tagged with
+        # `checkpoint_name` (identity outside jax.checkpoint) so the
+        # trainer's selective-remat policy can keep exactly the per-block
+        # boundary activations and recompute only block interiors
+        # (training/ldm_trainer.py remat_unet="blocks").
         hiddens = [h]
         idx = 0
         for i, mult in enumerate(self.channel_mult):
@@ -476,6 +481,7 @@ class UNet(nn.Module):
                     dtype=self.dtype,
                     name=f"input_block_{idx}",
                 )(h, t, context, training=training)
+                h = checkpoint_name(h, "unet_block")
                 hiddens.append(h)
                 idx += 1
             if i < num_levels - 1:
@@ -485,6 +491,7 @@ class UNet(nn.Module):
                     dtype=self.dtype,
                     name=f"input_block_{idx}",
                 )(h)
+                h = checkpoint_name(h, "unet_block")
                 hiddens.append(h)
                 idx += 1
 
@@ -498,6 +505,7 @@ class UNet(nn.Module):
             dtype=self.dtype,
             name="middle_block",
         )(h, t, context, training=training)
+        h = checkpoint_name(h, "unet_block")
 
         # Output trunk: skip concat then block (unet.py:134-136).
         idx = 0
@@ -515,6 +523,7 @@ class UNet(nn.Module):
                     dtype=self.dtype,
                     name=f"output_block_{idx}",
                 )(h, t, context, training=training)
+                h = checkpoint_name(h, "unet_block")
                 idx += 1
 
         h = GroupNorm(

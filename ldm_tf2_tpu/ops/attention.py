@@ -106,17 +106,25 @@ def _local_attention(q, k, v, scale):
     return _xla_attention(q, k, v, scale)
 
 
-def _use_sequence_parallel(q, k) -> bool:
+def _sp_claims(q_len: int, kv_len: int, num_heads: int) -> bool:
+    """Single source of truth for "SP owns this attention shape": a
+    sufficiently long sequence whose q/kv lengths and head count divide the
+    mesh axis.  Shared by the dispatch (`_use_sequence_parallel`) and the
+    layout predicate (`use_packed_flash`) so they cannot drift."""
     if _SP_STATE is None:
         return False
     mesh, axis, min_seq_len = _SP_STATE
     p = mesh.shape[axis]
     return (
-        q.shape[1] >= min_seq_len
-        and q.shape[2] % p == 0
-        and q.shape[1] % p == 0
-        and k.shape[1] % p == 0
+        q_len >= min_seq_len
+        and num_heads % p == 0
+        and q_len % p == 0
+        and kv_len % p == 0
     )
+
+
+def _use_sequence_parallel(q, k) -> bool:
+    return _sp_claims(q.shape[1], k.shape[1], q.shape[2])
 
 
 _PACKED_ENABLED = True
@@ -136,12 +144,8 @@ def use_packed_flash(q_len: int, kv_len: int, num_heads: int) -> bool:
     Lets modules skip the [B,T,H,S] relayout entirely."""
     if not _PACKED_ENABLED:
         return False
-    if _SP_STATE is not None:
-        mesh, axis, min_seq_len = _SP_STATE
-        p = mesh.shape[axis]
-        if (q_len >= min_seq_len and num_heads % p == 0
-                and q_len % p == 0 and kv_len % p == 0):
-            return False
+    if _sp_claims(q_len, kv_len, num_heads):
+        return False
     return _use_flash(q_len, kv_len)
 
 

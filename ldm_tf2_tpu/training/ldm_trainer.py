@@ -113,7 +113,7 @@ def make_ldm_train_step(
     condition_dropout_rate: float = 0.1,
     train_cond_model: bool = False,
     null_token_ids: jnp.ndarray | None = None,
-    remat_unet: bool = False,
+    remat_unet: bool | str = False,
     ema_decay: float | None = None,
     encode_chunks: int = 1,
 ):
@@ -135,12 +135,36 @@ def make_ldm_train_step(
     num_steps = schedule.num_steps
 
     if remat_unet:
-        # Rematerialize the U-Net forward in the backward pass: trades
-        # ~1/3 more FLOPs for dropping all intermediate activations from
-        # HBM — the standard lever for larger per-chip batches at 256^2+.
+        # Rematerialize the U-Net forward in the backward pass — the lever
+        # for larger per-chip batches at 512^2+.  Policies (VERDICT r1
+        # next-item #8, selective remat):
+        #   True / "full"  — save nothing: max memory relief, ~1/3 extra
+        #                    FLOPs (whole forward recomputed).
+        #   "blocks"       — save only the `checkpoint_name`-tagged
+        #                    per-block boundary activations (models/
+        #                    unet.py): backward recomputes one block
+        #                    interior at a time, so the peak drops to
+        #                    boundaries + one block's interior while the
+        #                    recompute cost stays one forward.
+        #   "dots"         — jax's dots_with_no_batch_dims_saveable:
+        #                    keep matmul outputs, recompute elementwise.
         # `training` must be a *positional* static arg for jax.checkpoint
         # (it has static_argnums but no static_argnames), so adapt the
         # keyword-style callable to a positional signature before wrapping.
+        policies = {
+            True: None,
+            "full": None,
+            "blocks": jax.checkpoint_policies.save_only_these_names(
+                "unet_block"
+            ),
+            "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }
+        if remat_unet not in policies:
+            raise ValueError(
+                f"tpu.remat must be one of false|true|full|blocks|dots, "
+                f"got {remat_unet!r}"
+            )
+        policy = policies[remat_unet]
         base_unet_apply = unet_apply
 
         def _unet_positional(params, xt, t, context, rngs, training):
@@ -148,7 +172,9 @@ def make_ldm_train_step(
                 params, xt, t, context, rngs, training=training
             )
 
-        unet_apply = jax.checkpoint(_unet_positional, static_argnums=(5,))
+        unet_apply = jax.checkpoint(
+            _unet_positional, static_argnums=(5,), policy=policy
+        )
 
     if encode_chunks > 1:
         # lax.map serializes the frozen-AE encode over sub-batches,
@@ -162,7 +188,12 @@ def make_ldm_train_step(
         def encode_latents(ae_params, images, key):  # noqa: F811
             b = images.shape[0]
             if b % encode_chunks:
-                return base_encode(ae_params, images, key)
+                raise ValueError(
+                    f"tpu.encode_chunks={encode_chunks} does not divide the "
+                    f"per-device batch {b}; the chunked (memory-saving) AE "
+                    "encode cannot apply. Pick an encode_chunks that divides "
+                    "the batch, or set it to 1."
+                )
             chunked = images.reshape(
                 (encode_chunks, b // encode_chunks) + images.shape[1:]
             )

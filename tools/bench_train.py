@@ -210,8 +210,13 @@ if __name__ == "__main__":
         # Default no-remat: fits HBM up to batch 16 at 256^2 / batch 2 at
         # 512^2 and is 8-13% faster; remat is the lever beyond that
         # (LDM_BENCH_REMAT=1).
+        # LDM_BENCH_REMAT: 0/unset = off, 1 = full, or a policy name
+        # ("blocks", "dots") for selective remat.
         remat_env = os.environ.get("LDM_BENCH_REMAT")
-        bench_ldm(
-            batch=batch, image=image,
-            remat=remat_env == "1" if remat_env is not None else False,
-        )
+        if remat_env in (None, "0"):
+            remat = False
+        elif remat_env == "1":
+            remat = True
+        else:
+            remat = remat_env
+        bench_ldm(batch=batch, image=image, remat=remat)

@@ -1,0 +1,287 @@
+"""Production-shape converter cross-check vs the reference converter.
+
+VERDICT r1 "Missing #1": the converter had only ever been fed tiny
+fabricated state_dicts; a key-naming or traversal-order mismatch against
+the real 1.5B `txt2img-f8-large` checkpoint would ship undetected.  With
+zero network egress the real checkpoint cannot be downloaded, so this tool
+does the strongest offline validation available:
+
+1. Fabricates a **full production-shape** CompVis state_dict — every key at
+   the real checkpoint's name and shape (transformer 32x1280/8x64/vocab
+   30522; U-Net 320ch mult(1,2,4,4) blocks=2 heads=8 ctx=1280; KL-AE 128ch
+   mult(1,2,4,4) blocks=2 z=4 — ~1.5B params), plus the real checkpoint's
+   non-model keys (DDPM schedule buffers, LitEma shadow weights) that a
+   converter must ignore.
+2. Runs the REFERENCE converter's pure-numpy weight-list builders
+   (convert_ckpt_pytorch_to_tf2.py:23-372, imported from /root/reference —
+   never copied) against that state_dict through a key-recording dict: any
+   KeyError proves our fabrication (hence our converter's view of the key
+   space) wrong; the recorded key set is committed as the key manifest.
+3. Runs OUR name-based converter (checkpoints/convert_pytorch.py) on the
+   same state_dict and flattens the resulting trees through the Keras
+   traversal orders (tests/golden_utils.py) — elementwise equality against
+   the reference's flat lists proves both converters implement the SAME
+   tensor mapping at production scale.
+
+Outputs:
+  tests/goldens/compvis_key_manifest.json  — key name -> shape for every
+      model key the reference converter reads (the reconstructed real key
+      list), plus the ignored non-model keys.
+  docs/CONVERTER_CROSSCHECK.md             — run report.
+
+Run:  python tools/crosscheck_converter.py
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from test_checkpoints import (  # noqa: E402
+    _make_ae_sd,
+    _make_transformer_sd,
+    _make_unet_sd,
+)
+
+import golden_utils as gu  # noqa: E402
+
+
+class RecordingDict(dict):
+    """dict that records every key read."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.reads = set()
+
+    def __getitem__(self, key):
+        self.reads.add(key)
+        return super().__getitem__(key)
+
+
+def make_production_sd(seed: int = 20260817) -> dict:
+    """Full production-shape CompVis txt2img-f8-large state_dict (numpy),
+    with real non-model keys included."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+    sd.update(
+        _make_transformer_sd(
+            rng, layers=32, hidden=1280, heads=8, size=64,
+            vocab=30522, seq=77, filters=5120,
+        )
+    )
+    sd.update(
+        _make_unet_sd(rng, C=320, mult=(1, 2, 4, 4), blocks=2, heads=8,
+                      ctx=1280)
+    )
+    sd.update(_make_ae_sd(rng, C=128, mult=(1, 2, 4, 4), blocks=2, zc=4))
+
+    # Non-model keys present in the real checkpoint that every converter
+    # must ignore: the LatentDiffusion module's registered schedule buffers
+    # and the LitEma shadow copies (CompVis ldm/models/diffusion/ddpm.py:
+    # register_schedule + LitEma stores shadow params under model_ema.*
+    # with dots stripped from the source names).
+    for name in (
+        "betas", "alphas_cumprod", "alphas_cumprod_prev",
+        "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod",
+        "log_one_minus_alphas_cumprod", "sqrt_recip_alphas_cumprod",
+        "sqrt_recipm1_alphas_cumprod", "posterior_variance",
+        "posterior_log_variance_clipped", "posterior_mean_coef1",
+        "posterior_mean_coef2",
+    ):
+        sd[name] = rng.randn(1000).astype(np.float32)
+    sd["logvar"] = np.zeros((1000,), np.float32)
+    sd["model_ema.num_updates"] = np.asarray(0, np.int64)
+    sd["model_ema.decay"] = np.asarray(0.9999, np.float32)
+    for key in [k for k in sd if k.startswith("model.diffusion_model.")]:
+        shadow = "model_ema." + key[len("model."):].replace(".", "")
+        sd[shadow] = sd[key]  # shared storage: shapes are what matters
+    return sd
+
+
+def flatten_ours(tree: dict, order) -> list[np.ndarray]:
+    """Flatten a converted param tree through a golden_utils Keras order."""
+    out = []
+    for collection, path in order:
+        assert collection == "params", (collection, path)
+        node = tree
+        for k in path:
+            node = node[k]
+        out.append(np.asarray(node))
+    return out
+
+
+def compare(name: str, ref_list, ours_list) -> int:
+    assert len(ref_list) == len(ours_list), (
+        f"{name}: {len(ref_list)} reference tensors vs {len(ours_list)} ours"
+    )
+    for i, (a, b) in enumerate(zip(ref_list, ours_list)):
+        a = np.asarray(a)
+        assert a.shape == b.shape, f"{name}[{i}]: {a.shape} vs {b.shape}"
+        np.testing.assert_array_equal(
+            a, b, err_msg=f"{name}[{i}] shape {a.shape}"
+        )
+    return len(ref_list)
+
+
+def main() -> None:
+    print("[crosscheck] fabricating production-shape state_dict...")
+    sd_plain = make_production_sd()
+    n_model = sum(
+        1 for k in sd_plain
+        if k.startswith(("cond_stage_model.", "model.diffusion_model.",
+                         "first_stage_model."))
+    )
+    n_params = sum(
+        int(np.prod(v.shape)) for k, v in sd_plain.items()
+        if k.startswith(("cond_stage_model.", "model.diffusion_model.",
+                         "first_stage_model."))
+    )
+    print(f"[crosscheck] {len(sd_plain)} keys, {n_model} model keys, "
+          f"{n_params/1e9:.3f}B params")
+
+    sd = RecordingDict(sd_plain)
+
+    # Reference converter's pure-numpy builders (imported, never copied).
+    # Loaded via importlib with stubbed heavy deps (torch/tf/keras models)
+    # so only the numpy weight-list functions are touched.
+    import types
+
+    for mod in ("torch", "tensorflow"):
+        if mod not in sys.modules:
+            sys.modules[mod] = types.ModuleType(mod)
+    for mod in ("unet", "transformer", "autoencoder"):
+        if mod not in sys.modules:
+            stub = types.ModuleType(mod)
+            stub.UNet = stub.TransformerModel = stub.AutoencoderKL = object
+            sys.modules[mod] = stub
+    sys.modules["tensorflow"].__dict__.setdefault("train", None)
+    spec = importlib.util.spec_from_file_location(
+        "ref_converter", "/root/reference/convert_ckpt_pytorch_to_tf2.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(ref)
+    except Exception as e:  # absl flags etc.
+        print(f"[crosscheck] reference module exec note: {e}")
+    assert hasattr(ref, "get_unet_weights")
+
+    from ldm_tf2_tpu.checkpoints.convert_pytorch import (
+        convert_autoencoder_kl,
+        convert_transformer,
+        convert_unet,
+    )
+
+    print("[crosscheck] running reference weight-list builders...")
+    ref_tr = ref.get_transformer_weights(sd)
+    ref_unet = ref.get_unet_weights(sd)
+    ref_enc = ref.get_encoder_weights(sd)
+    ref_dec = ref.get_decoder_weights(sd)
+    model_reads = set(sd.reads)
+
+    print("[crosscheck] running our converter...")
+    ours_tr = convert_transformer(sd, num_layers=32, num_heads=8)
+    ours_unet = convert_unet(
+        sd, num_blocks=2, channel_mult=(1, 2, 4, 4), num_heads=8
+    )
+    ours_ae = convert_autoencoder_kl(
+        sd, num_blocks=2, multipliers=(1, 2, 4, 4)
+    )
+
+    # Key-space agreement: our converter must read exactly the reference's
+    # model keys (plus quant/post_quant convs the reference reads in
+    # save_checkpoint, convert_ckpt:413-421).
+    our_reads = set(sd.reads) - model_reads
+    extra_ref = model_reads - set(sd.reads)
+    quant_keys = {
+        "first_stage_model.quant_conv.weight",
+        "first_stage_model.quant_conv.bias",
+        "first_stage_model.post_quant_conv.weight",
+        "first_stage_model.post_quant_conv.bias",
+    }
+    assert not extra_ref, sorted(extra_ref)[:5]
+    only_ours = our_reads - model_reads
+    assert only_ours <= quant_keys, sorted(only_ours - quant_keys)[:5]
+
+    print("[crosscheck] comparing flat weight lists (Keras order)...")
+    n1 = compare("transformer", ref_tr, flatten_ours(
+        {"params": ours_tr}["params"], gu.transformer_order(32)))
+    n2 = compare("unet", ref_unet, flatten_ours(
+        ours_unet, gu.unet_order(num_blocks=2, channel_mult=(1, 2, 4, 4))))
+    ae_order = gu.autoencoder_kl_order(
+        num_blocks=2, multipliers=(1, 2, 4, 4), image_size=256
+    )
+    enc_order = [e for e in ae_order if e[1][0] == "encoder"]
+    dec_order = [e for e in ae_order if e[1][0] == "decoder"]
+    n3 = compare("encoder", ref_enc, flatten_ours(ours_ae, enc_order))
+    n4 = compare("decoder", ref_dec, flatten_ours(ours_ae, dec_order))
+    # quant convs (reference reads them in save_checkpoint): 1x1 -> Dense
+    np.testing.assert_array_equal(
+        ours_ae["quant_conv"]["kernel"],
+        sd_plain["first_stage_model.quant_conv.weight"]
+        .squeeze((2, 3)).T,
+    )
+    np.testing.assert_array_equal(
+        ours_ae["post_quant_conv"]["kernel"],
+        sd_plain["first_stage_model.post_quant_conv.weight"]
+        .squeeze((2, 3)).T,
+    )
+
+    ignored = sorted(k for k in sd_plain if k not in model_reads | quant_keys)
+    manifest = {
+        "model_keys": {
+            k: list(sd_plain[k].shape)
+            for k in sorted(model_reads | quant_keys)
+        },
+        "ignored_keys": {k: list(sd_plain[k].shape) for k in ignored},
+        "total_model_params": int(n_params),
+    }
+    out_path = os.path.join(REPO, "tests", "goldens",
+                            "compvis_key_manifest.json")
+    with open(out_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"[crosscheck] wrote {out_path} "
+          f"({len(manifest['model_keys'])} model keys)")
+
+    report = f"""# Converter cross-check (production shape)
+
+Generated by tools/crosscheck_converter.py.
+
+A full production-shape CompVis `txt2img-f8-large` state_dict
+({n_params/1e9:.3f}B params, {len(sd_plain)} keys incl. DDPM schedule
+buffers and LitEma shadows) was fed to BOTH the reference converter's
+weight-list builders (convert_ckpt_pytorch_to_tf2.py:23-372, imported
+from /root/reference) and this repo's name-based converter
+(ldm_tf2_tpu/checkpoints/convert_pytorch.py).
+
+| Check | Result |
+|---|---|
+| Reference reads satisfied (no KeyError) | yes — {len(model_reads)} model keys |
+| Our converter reads == reference reads (+quant convs) | yes |
+| transformer flat weights equal (Keras order) | {n1} tensors exact |
+| U-Net flat weights equal | {n2} tensors exact |
+| AE encoder flat weights equal | {n3} tensors exact |
+| AE decoder flat weights equal | {n4} tensors exact |
+| quant/post_quant conv mapping | exact |
+| Non-model keys ignored ({len(ignored)}) | yes |
+
+Key manifest: tests/goldens/compvis_key_manifest.json (the reconstructed
+real-checkpoint key list; a user with the real checkpoint can diff
+`ckpt["state_dict"]` keys/shapes against it).
+"""
+    os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
+    with open(os.path.join(REPO, "docs", "CONVERTER_CROSSCHECK.md"),
+              "w") as f:
+        f.write(report)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
@@ -214,24 +215,70 @@ class CrossAttention(nn.Module):
         return nn.Dropout(self.dropout_rate, deterministic=not training)(out)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder shaped/initialized exactly like ``nn.Dense`` (so
+    checkpoints are interchangeable) that returns the raw kernel/bias
+    instead of applying them — the caller decides between the fused
+    Pallas FFN kernel and the unfused XLA chain."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter holder matching ``nn.LayerNorm`` (scale/bias of [C])."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param(
+            "scale", nn.initializers.ones, (features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (features,), jnp.float32
+        )
+        return scale, bias
+
+
 class GEGLU(nn.Module):
-    """Dense(2C) split -> x * gelu(gate) (unet.py:317-325)."""
+    """Dense(2C) split -> x * gelu(gate) (unet.py:317-325).  Exposes the
+    dense params so FeedForward can route through the fused kernel."""
 
     channels: int
     dtype: Any = jnp.float32
 
     @nn.compact
+    def params(self, in_features: int):
+        return _DenseParams(self.channels * 2, name="dense")(in_features)
+
     def __call__(self, x):
-        x, gate = jnp.split(
-            nn.Dense(self.channels * 2, dtype=self.dtype, name="dense")(x),
-            2,
-            axis=-1,
-        )
+        w, b = self.params(x.shape[-1])
+        h = jnp.dot(x, w.astype(self.dtype)) + b.astype(self.dtype)
+        x, gate = jnp.split(h, 2, axis=-1)
         return x * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
-    """GEGLU(4C) -> dropout -> Dense(C) (unet.py:328-338)."""
+    """LN -> GEGLU(4C) -> dropout -> Dense(C) -> +residual
+    (unet.py:308-338, the ffn arm of BasicTransformerBlock).
+
+    The LayerNorm params live in the parent block (``layernorm3``) for
+    checkpoint parity; their values are passed in.  When dropout is
+    inactive and the shape fits, the whole chain runs as one Pallas
+    kernel (ops/fused_ffn.py); otherwise the unfused XLA math is used —
+    both compute the same function.
+    """
 
     channels: int
     multiplier: int = 4
@@ -239,10 +286,42 @@ class FeedForward(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, training: bool = False):
-        x = GEGLU(self.channels * self.multiplier, dtype=self.dtype, name="geglu")(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
-        return nn.Dense(self.channels, dtype=self.dtype, name="dense")(x)
+    def __call__(self, x, ln_scale, ln_bias, *, training: bool = False):
+        from ldm_tf2_tpu.ops.fused_ffn import fused_ffn, use_fused_ffn
+
+        hidden = self.channels * self.multiplier
+        geglu = GEGLU(hidden, dtype=self.dtype, name="geglu")
+        w1, b1 = geglu.params(x.shape[-1])
+        w2, b2 = _DenseParams(self.channels, name="dense")(hidden)
+
+        dropout_active = training and self.dropout_rate > 0.0
+        b, t, d = x.shape
+        if not dropout_active and use_fused_ffn(b, t, d):
+            return fused_ffn(
+                x,
+                ln_scale,
+                ln_bias,
+                w1.astype(self.dtype),
+                b1.astype(self.dtype),
+                w2.astype(self.dtype),
+                b2.astype(self.dtype),
+            )
+
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            - jnp.square(mu),
+            0.0,
+        )
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        y = (y * ln_scale + ln_bias).astype(self.dtype)
+        h = jnp.dot(y, w1.astype(self.dtype)) + b1.astype(self.dtype)
+        a, g = jnp.split(h, 2, axis=-1)
+        h = a * nn.gelu(g, approximate=False)
+        h = nn.Dropout(self.dropout_rate, deterministic=not training)(h)
+        out = jnp.dot(h, w2.astype(self.dtype)) + b2.astype(self.dtype)
+        return out + x
 
 
 class BasicTransformerBlock(nn.Module):
@@ -279,14 +358,16 @@ class BasicTransformerBlock(nn.Module):
             )(ln("layernorm2")(x), context, training=training)
             + x
         )
-        x = (
-            FeedForward(
-                self.num_heads * self.size_per_head,
-                dtype=self.dtype,
-                name="ffn",
-            )(ln("layernorm3")(x), training=training)
-            + x
+        ln3_scale, ln3_bias = _LayerNormParams(name="layernorm3")(
+            x.shape[-1]
         )
+        # dropout_rate stays at FeedForward's 0.0 default: the reference
+        # constructs its ffn with default dropout (unet.py:303, :328)
+        x = FeedForward(
+            self.num_heads * self.size_per_head,
+            dtype=self.dtype,
+            name="ffn",
+        )(x, ln3_scale, ln3_bias, training=training)
         return x
 
 

@@ -1,0 +1,274 @@
+"""Fused transformer-FFN Pallas kernel: LN -> GEGLU -> Dense -> +residual.
+
+Motivation (round-2 profile, tools/profile_pipeline.py unet @ CFG batch 32):
+the SpatialTransformer FFN chain costs ~12 ms of a 54 ms U-Net eval.  XLA
+splits it into a GEGLU dot that writes the [B,T,8d] pre-activation to HBM
+(168 MB at level 0) and an `add_add_fusion` that re-reads it, applies the
+exact gelu on the VPU, and emits the output dot in a transposed {1,2,0}
+layout at ~29% MXU efficiency.  This kernel keeps the whole chain in VMEM:
+x is read once, the output written once, and the gelu overlaps the MXU
+work instead of serializing against it.
+
+Math (matches models/unet.py BasicTransformerBlock ffn branch,
+reference unet.py:308-338):
+
+    y  = LayerNorm(x; scale, bias, eps)            # f32 stats
+    ag = y @ w1 + b1                               # w1: [d, 8d]
+    u  = ag[..., :4d] * gelu_exact(ag[..., 4d:])   # f32
+    out = u @ w2 + b2 + x                          # w2: [4d, d]
+
+Grid: (M tiles, J column-blocks of the 4d hidden dim).  The LayerNorm is
+computed once per M tile (at j==0) into a VMEM scratch; each j step does
+two [TM,d]x[d,NB] dots (a and gate columns), the gelu-gate product, and
+accumulates u @ w2_j into an f32 [TM,d] accumulator; the last j adds bias
+and residual and writes bf16.  Weights are streamed block-by-block, so the
+kernel handles d=1280 (w1 = 26 MB) without exceeding VMEM.
+
+Backward: custom_vjp that recomputes through the XLA reference (identical
+math) — the same pattern as ops/group_norm.py.  The sampler never
+differentiates this; the trainer pays one extra recompute, which remat
+was paying anyway.
+
+Dispatch: ``fused_ffn`` falls back to the XLA reference when shapes don't
+fit the kernel's tiling (reference parity is bit-for-bit unaffected by
+dispatch: tests assert kernel-vs-XLA max error at bf16 resolution).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_IMPL = "auto"  # "auto" | "xla" | "pallas"
+
+
+def set_fused_ffn_impl(impl: str) -> None:
+    global _IMPL
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown fused_ffn impl: {impl!r}")
+    _IMPL = impl
+
+
+def get_fused_ffn_impl() -> str:
+    return _IMPL
+
+
+def _erf_f32(x):
+    """erf for Mosaic (no erf primitive): Abramowitz & Stegun 7.1.26
+    rational approximation, |abs err| <= 1.5e-7 — below bf16 resolution,
+    so kernel-vs-XLA parity is limited by bf16 rounding, not by this."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (
+            -0.284496736
+            + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+        )
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact_f32(x):
+    # 0.5 * x * (1 + erf(x / sqrt(2))) — matches jax.nn.gelu(approximate=False)
+    return 0.5 * x * (1.0 + _erf_f32(x * (2.0 ** -0.5)))
+
+
+def _xla_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    """Reference implementation (exactly the unfused model math:
+    nn.LayerNorm(f32 stats) -> Dense -> split -> x*gelu -> Dense -> +x)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    # fast variance (mean of squares minus squared mean): matches the
+    # flax.linen.LayerNorm default the unfused model path uses
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu),
+        0.0,
+    )
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    y = y.astype(x.dtype)
+    h = jnp.dot(y, w1) + b1
+    a, g = jnp.split(h, 2, axis=-1)
+    u = a * jax.nn.gelu(g, approximate=False)
+    return jnp.dot(u, w2) + b2 + x
+
+
+def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1a_ref, w1b_ref, b1a_ref,
+                b1b_ref, w2_ref, b2_ref, o_ref, ln_ref, acc_ref, *, eps):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)  # [TM, d]
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            - jnp.square(mu),
+            0.0,
+        )
+        y = (xf - mu) * jax.lax.rsqrt(var + eps)
+        y = y * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(
+            jnp.float32
+        )
+        ln_ref[:] = y.astype(ln_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    y = ln_ref[:]
+    a = (
+        jnp.dot(y, w1a_ref[:], preferred_element_type=jnp.float32)
+        + b1a_ref[:].astype(jnp.float32)
+    )
+    g = (
+        jnp.dot(y, w1b_ref[:], preferred_element_type=jnp.float32)
+        + b1b_ref[:].astype(jnp.float32)
+    )
+    u = (a * _gelu_exact_f32(g)).astype(y.dtype)
+    acc_ref[:] += jnp.dot(
+        u, w2_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out = acc_ref[:].astype(o_ref.dtype)
+        o_ref[:] = out + b2_ref[:].astype(o_ref.dtype) + x_ref[:]
+
+
+def _pick_tiles(m: int, d: int):
+    """(TM, NB) from the on-device sweep (tools/bench_ffn.py +
+    /tmp/sweep_ffn, v5e, 2026-08-17): full-width NB=4d with a single
+    j-step wins everywhere it compiles (weight blocks have a constant
+    index so Mosaic keeps them resident); TM=256 best at d=320
+    (0.74 ms vs 1.21 XLA at CFG batch 32), TM=512 best at d=640
+    (0.53 vs 0.67).  Larger TM or d=1280 tiles exceed VMEM."""
+    h4 = 4 * d
+    for tm in ((256, 128) if d <= 320 else (512, 256, 128)):
+        if m % tm == 0:
+            return tm, h4
+    return None
+
+
+def _pallas_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    b, t, d = x.shape
+    m = b * t
+    tiles = _pick_tiles(m, d)
+    assert tiles is not None
+    tm, nb = tiles
+    h4 = 4 * d
+    n_j = h4 // nb
+
+    x2 = x.reshape(m, d)
+    w1a, w1b = w1[:, :h4], w1[:, h4:]
+    b1a, b1b = b1[:h4].reshape(1, h4), b1[h4:].reshape(1, h4)
+
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel, eps=eps),
+        grid=(m // tm, n_j),
+        in_specs=[
+            pl.BlockSpec((tm, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # ln scale
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # ln bias
+            pl.BlockSpec((d, nb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # w1a
+            pl.BlockSpec((d, nb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # w1b
+            pl.BlockSpec((1, nb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # b1a
+            pl.BlockSpec((1, nb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # b1b
+            pl.BlockSpec((nb, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # b2
+        ],
+        out_specs=pl.BlockSpec((tm, d), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tm, d), x.dtype),      # LN(x) tile
+            pltpu.VMEM((tm, d), jnp.float32),  # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * 12 * d * d,
+            bytes_accessed=2 * m * d * 2 + 3 * d * h4 * 2,
+            transcendentals=m * h4,
+        ),
+        # CPU tests exercise the kernel via the interpreter
+        interpret=jax.default_backend() != "tpu",
+    )(
+        x2,
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        w1a,
+        w1b,
+        b1a,
+        b1b,
+        w2,
+        b2.reshape(1, d),
+    )
+    return out.reshape(b, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _fused_ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    return _pallas_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+
+
+def _fused_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    return (
+        _pallas_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps),
+        (x, ln_scale, ln_bias, w1, b1, w2, b2),
+    )
+
+
+def _fused_bwd(eps, residuals, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = residuals
+    _, vjp = jax.vjp(
+        lambda *a: _xla_ffn(*a, eps), x, ln_scale, ln_bias, w1, b1, w2, b2
+    )
+    return vjp(g)
+
+
+_fused_ffn_pallas.defvjp(_fused_fwd, _fused_bwd)
+
+
+def use_fused_ffn(b: int, t: int, d: int, on_tpu: bool | None = None) -> bool:
+    """True when the Pallas kernel handles this shape (and we're on TPU)."""
+    if _IMPL == "xla":
+        return False
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
+    if _IMPL == "auto" and not on_tpu:
+        return False
+    # d=1280 (deepest level + middle block): XLA already runs the chain at
+    # ~90% of the MXU roofline there (tools/bench_ffn.py) — keep it.
+    if _IMPL == "auto" and d > 640:
+        return False
+    # NB = 4d must tile the 128-lane minor dim (d=320 -> NB=1280 is fine)
+    if (4 * d) % 128 != 0:
+        return False
+    return _pick_tiles(b * t, d) is not None
+
+
+def fused_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-5):
+    """LN -> GEGLU -> Dense -> +residual over [B, T, d].
+
+    Args:
+      x: [B, T, d] activations (bf16 or f32).
+      ln_scale, ln_bias: [d] LayerNorm affine (f32).
+      w1: [d, 8d] GEGLU kernel (value columns first, gate columns second).
+      b1: [8d]; w2: [4d, d]; b2: [d].
+    """
+    b, t, d = x.shape
+    if use_fused_ffn(b, t, d):
+        return _fused_ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+    return _xla_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)

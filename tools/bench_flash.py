@@ -42,6 +42,11 @@ def main(mode="fwd"):
         (32, 256, 256, 8, 80),
         (8, 4096, 4096, 8, 40),
         (8, 4096, 4096, 1, 512),
+        # cross-attention (kv = 77 text tokens) and short self-attn levels
+        (32, 1024, 77, 8, 40),
+        (32, 256, 77, 8, 80),
+        (32, 64, 77, 8, 160),
+        (32, 64, 64, 8, 160),
     ]
     from ldm_tf2_tpu.ops import flash_attention as fa
 

@@ -29,10 +29,18 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from ldm_tf2_tpu.models.distribution import DiagonalGaussian
 from ldm_tf2_tpu.models.quantize import VectorQuantizer
 from ldm_tf2_tpu.ops.attention import dot_product_attention
-from ldm_tf2_tpu.ops.group_norm import GroupNorm
+from ldm_tf2_tpu.ops.fused_conv import (
+    Conv3x3Params,
+    GNParams,
+    conv3x3,
+    gn_silu_conv3x3,
+)
+from ldm_tf2_tpu.ops.group_norm import GroupNorm, group_norm
 from ldm_tf2_tpu.ops.resize import nearest_upsample_2x
 
 GROUP_NORM_EPS = 1e-6
@@ -47,31 +55,42 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, time=None, *, training: bool = False):
-        h = GroupNorm(
-            num_groups=32, epsilon=GROUP_NORM_EPS, dtype=self.dtype,
-            name="group_norm1", activation="silu",
-        )(x)
-        h = nn.Conv(
-            self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv1"
-        )(h)
-
+        cin = x.shape[-1]
+        x = x.astype(self.dtype)
+        g1_scale, g1_bias = GNParams(cin, name="group_norm1")()
+        k1, b1 = Conv3x3Params(self.channels, cin, name="conv1")()
+        t = None
         if time is not None:
-            h = h + nn.Dense(self.channels, dtype=self.dtype, name="dense_time")(
+            t = nn.Dense(self.channels, dtype=self.dtype, name="dense_time")(
                 nn.swish(time)
-            )[:, None, None, :]
+            )
+        h = gn_silu_conv3x3(
+            x, g1_scale, g1_bias, k1, b1, time_add=t,
+            num_groups=32, eps=GROUP_NORM_EPS,
+        )
 
-        h = GroupNorm(
-            num_groups=32, epsilon=GROUP_NORM_EPS, dtype=self.dtype,
-            name="group_norm2", activation="silu",
-        )(h)
-        h = nn.Dropout(self.dropout_rate, deterministic=not training)(h)
-        h = nn.Conv(
-            self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2"
-        )(h)
-
-        if x.shape[-1] != self.channels:
-            x = nn.Dense(self.channels, dtype=self.dtype, name="shortcut")(x)
-        return x + h
+        g2_scale, g2_bias = GNParams(self.channels, name="group_norm2")()
+        k2, b2 = Conv3x3Params(self.channels, self.channels, name="conv2")()
+        shortcut = x
+        if cin != self.channels:
+            shortcut = nn.Dense(
+                self.channels, dtype=self.dtype, name="shortcut"
+            )(x)
+        if training and self.dropout_rate > 0.0:
+            # Dropout sits between GN/SiLU and the second conv — the chain
+            # cannot fuse; use the identical unfused composition (conv as
+            # 9 dots: immune to the conv-emitter lottery, fused_conv.py).
+            h = group_norm(
+                h, g2_scale, g2_bias, num_groups=32, eps=GROUP_NORM_EPS,
+                activate=True,
+            )
+            h = nn.Dropout(self.dropout_rate, deterministic=False)(h)
+            h = conv3x3(h, k2, b2)
+            return shortcut + h
+        return gn_silu_conv3x3(
+            h, g2_scale, g2_bias, k2, b2, residual_add=shortcut,
+            num_groups=32, eps=GROUP_NORM_EPS,
+        )
 
 
 class AttentionBlock(nn.Module):

@@ -36,7 +36,13 @@ from jax.ad_checkpoint import checkpoint_name
 
 from ldm_tf2_tpu.models.transformer import Projection
 from ldm_tf2_tpu.ops.attention import dot_product_attention
-from ldm_tf2_tpu.ops.group_norm import GroupNorm
+from ldm_tf2_tpu.ops.fused_conv import (
+    Conv3x3Params,
+    GNParams,
+    conv3x3,
+    gn_silu_conv3x3,
+)
+from ldm_tf2_tpu.ops.group_norm import GroupNorm, group_norm
 from ldm_tf2_tpu.ops.resize import nearest_upsample_2x
 
 
@@ -108,7 +114,14 @@ class Upsample(nn.Module):
 
 class ResidualBlock(nn.Module):
     """GN(1e-5)/SiLU/conv + time-MLP broadcast + GN/SiLU/dropout/conv with
-    Dense shortcut on channel change (unet.py:368-398)."""
+    Dense shortcut on channel change (unet.py:368-398).
+
+    Both GN/SiLU/conv chains route through `ops.fused_conv.gn_silu_conv3x3`
+    — impl-switchable between the XLA conv emitter, 9-shifted-MXU-dots
+    (dodges the emitter's nondeterministic ~4 TF/s cliff on the decoder's
+    concat-conv shapes, see ops/fused_conv.py), and the whole-chain Pallas
+    kernel.  Params are declared through the raw-param holders, so the
+    checkpoint tree is unchanged."""
 
     channels: int
     dropout_rate: float = 0.1
@@ -116,33 +129,39 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_embedding, *, training: bool = False):
-        h = GroupNorm(
-            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm_1",
-            activation="silu",
-        )(x)
-        h = nn.Conv(
-            self.channels, (3, 3), padding="SAME", dtype=self.dtype,
-            name="conv2d_1",
-        )(h)
-
+        cin = x.shape[-1]
+        x = x.astype(self.dtype)
+        g1_scale, g1_bias = GNParams(cin, name="group_norm_1")()
+        k1, b1 = Conv3x3Params(self.channels, cin, name="conv2d_1")()
         t = nn.Dense(self.channels, dtype=self.dtype, name="dense")(
             nn.silu(time_embedding)
         )
-        h = h + t[:, None, None, :]
+        h = gn_silu_conv3x3(
+            x, g1_scale, g1_bias, k1, b1, time_add=t, num_groups=32, eps=1e-5
+        )
 
-        h = GroupNorm(
-            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm_2",
-            activation="silu",
-        )(h)
-        h = nn.Dropout(self.dropout_rate, deterministic=not training)(h)
-        h = nn.Conv(
-            self.channels, (3, 3), padding="SAME", dtype=self.dtype,
-            name="conv2d_2",
-        )(h)
-
-        if x.shape[-1] != self.channels:
-            x = nn.Dense(self.channels, dtype=self.dtype, name="shortcut")(x)
-        return x + h
+        g2_scale, g2_bias = GNParams(self.channels, name="group_norm_2")()
+        k2, b2 = Conv3x3Params(self.channels, self.channels,
+                               name="conv2d_2")()
+        shortcut = x
+        if cin != self.channels:
+            shortcut = nn.Dense(
+                self.channels, dtype=self.dtype, name="shortcut"
+            )(x)
+        if training and self.dropout_rate > 0.0:
+            # Dropout sits between GN/SiLU and the second conv — the chain
+            # cannot fuse; use the identical unfused composition (conv as
+            # 9 dots: immune to the conv-emitter lottery, fused_conv.py).
+            h = group_norm(
+                h, g2_scale, g2_bias, num_groups=32, eps=1e-5, activate=True
+            )
+            h = nn.Dropout(self.dropout_rate, deterministic=False)(h)
+            h = conv3x3(h, k2, b2)
+            return shortcut + h
+        return gn_silu_conv3x3(
+            h, g2_scale, g2_bias, k2, b2, residual_add=shortcut,
+            num_groups=32, eps=1e-5,
+        )
 
 
 class CrossAttention(nn.Module):
@@ -518,16 +537,48 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, time, context=None, *, training: bool = False):
+    def __call__(
+        self,
+        x,
+        time,
+        context=None,
+        *,
+        training: bool = False,
+        shallow_cache=None,
+        return_cache: bool = False,
+        cache_levels: int = 1,
+    ):
         """
         Args:
           x: [batch, height, width, in_channels] noisy latents (NHWC).
           time: [batch] timesteps.
           context: [batch, seq_len, context_channels] text embeddings.
+          shallow_cache: optional cached deep-feature tensor from a previous
+            ``return_cache=True`` call.  When given, only the shallowest
+            ``cache_levels`` levels (input blocks, output blocks, in/out
+            convs) are computed and the cached tensor substitutes for the
+            entire deep sub-U-Net — the DeepCache / encoder-propagation
+            acceleration (Ma et al. 2023; Li et al., arXiv:2312.09608):
+            deep features change slowly across adjacent denoise steps, so
+            reuse them for a few steps and refresh periodically.
+          return_cache: when True (full pass), additionally return the deep
+            boundary feature to feed later shallow passes.
+          cache_levels: how many shallow levels stay fresh (static; 1 =
+            only the outermost resolution level).
         Returns:
-          [batch, height, width, out_channels] predicted noise.
+          [batch, height, width, out_channels] predicted noise; with
+          ``return_cache=True``, a ``(noise, cache)`` tuple.
         """
         num_levels = len(self.channel_mult)
+        shallow = shallow_cache is not None
+        if shallow or return_cache:
+            if not 1 <= cache_levels <= num_levels - 1:
+                raise ValueError(
+                    f"cache_levels must be in [1, {num_levels - 1}], got "
+                    f"{cache_levels}"
+                )
+        if shallow and return_cache:
+            raise ValueError("a shallow pass cannot produce a cache")
 
         h = nn.Conv(
             self.model_channels, (3, 3), padding="SAME", dtype=self.dtype,
@@ -551,6 +602,8 @@ class UNet(nn.Module):
         hiddens = [h]
         idx = 0
         for i, mult in enumerate(self.channel_mult):
+            if shallow and i >= cache_levels:
+                break
             for _ in range(self.num_blocks):
                 h = InputBlock(
                     channels=self.model_channels * mult,
@@ -565,7 +618,9 @@ class UNet(nn.Module):
                 h = checkpoint_name(h, "unet_block")
                 hiddens.append(h)
                 idx += 1
-            if i < num_levels - 1:
+            # A shallow pass skips level cache_levels-1's downsample: its
+            # output is a skip input only to the (cached) deeper levels.
+            if i < num_levels - 1 and not (shallow and i == cache_levels - 1):
                 h = InputBlock(
                     channels=self.model_channels * mult,
                     use_downsample=True,
@@ -576,21 +631,34 @@ class UNet(nn.Module):
                 hiddens.append(h)
                 idx += 1
 
-        h = MiddleBlock(
-            channels=self.model_channels * self.channel_mult[-1],
-            context_channels=self.context_channels,
-            num_heads=self.num_heads,
-            size_per_head=(self.model_channels // self.num_heads)
-            * self.channel_mult[-1],
-            dropout_rate=self.dropout_rate,
-            dtype=self.dtype,
-            name="middle_block",
-        )(h, t, context, training=training)
-        h = checkpoint_name(h, "unet_block")
+        if not shallow:
+            h = MiddleBlock(
+                channels=self.model_channels * self.channel_mult[-1],
+                context_channels=self.context_channels,
+                num_heads=self.num_heads,
+                size_per_head=(self.model_channels // self.num_heads)
+                * self.channel_mult[-1],
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                name="middle_block",
+            )(h, t, context, training=training)
+            h = checkpoint_name(h, "unet_block")
 
-        # Output trunk: skip concat then block (unet.py:134-136).
+        # Output trunk: skip concat then block (unet.py:134-136).  Block
+        # numbering counts from the deepest level so shallow passes bind
+        # the same param names as full passes.
+        cache_out = None
+        levels = list(enumerate(self.channel_mult))[::-1]
         idx = 0
-        for i, mult in list(enumerate(self.channel_mult))[::-1]:
+        if shallow:
+            levels = levels[num_levels - cache_levels:]
+            idx = (num_levels - cache_levels) * (self.num_blocks + 1)
+            h = shallow_cache.astype(self.dtype)
+        for i, mult in levels:
+            if return_cache and i == cache_levels - 1 and cache_out is None:
+                # Deep boundary: everything above here is what a later
+                # shallow pass recomputes; everything below is the cache.
+                cache_out = h
             for j in range(self.num_blocks + 1):
                 h = jnp.concatenate([h, hiddens.pop()], axis=-1)
                 h = OutputBlock(
@@ -611,7 +679,10 @@ class UNet(nn.Module):
             num_groups=32, epsilon=1e-5, dtype=self.dtype, name="group_norm",
             activation="silu",
         )(h)
-        return nn.Conv(
+        out = nn.Conv(
             self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
             name="conv_out",
         )(h)
+        if return_cache:
+            return out, cache_out
+        return out

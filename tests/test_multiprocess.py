@@ -97,14 +97,14 @@ def test_two_process_matches_single_process(tmp_path):
         _run(i, 2, port, records_dir, outs[i], local_devices=2)
         for i in range(2)
     ]
-    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    logs = [p.communicate(timeout=1500)[0].decode() for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-3000:]
 
     # single-process run on a 4-device mesh (same global device count).
     out_single = str(tmp_path / "single.json")
     p = _run(0, 1, _free_port(), records_dir, out_single, local_devices=4)
-    log = p.communicate(timeout=600)[0].decode()
+    log = p.communicate(timeout=1500)[0].decode()
     assert p.returncode == 0, log[-3000:]
 
     results = [json.load(open(o)) for o in outs]

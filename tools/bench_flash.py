@@ -88,9 +88,34 @@ def main(mode="fwd"):
 
         if mode == "fwd":
             def total(fn, args):
-                def g(*a):
-                    return jnp.sum(fn(*a).astype(jnp.float32))
-                return bench(jax.jit(g), args)
+                # same dispatch-batch differencing as the bwd path: the
+                # chained-eager `bench` helper pays one tunnel RTT per
+                # iteration and was measuring ~5 ms for ~1 ms kernels.
+                # sum(out^2): a linear reduction of a final dot can be
+                # algebraically collapsed by XLA.
+                g = jax.jit(
+                    lambda *a: jnp.sum(
+                        jnp.square(fn(*a).astype(jnp.float32))
+                    )
+                )
+
+                def run_batch(iters):
+                    outs = [g(*args) for _ in range(iters)]
+                    float(outs[-1])
+
+                def timed(iters):
+                    t0 = time.perf_counter()
+                    run_batch(iters)
+                    return time.perf_counter() - t0
+
+                run_batch(5)
+                run_batch(5)
+                deltas = []
+                for _ in range(5):
+                    t10, t40 = timed(10), timed(40)
+                    deltas.append((t40 - t10) / 30 * 1e3)
+                deltas.sort()
+                return deltas[len(deltas) // 2]
         else:
             def total(fn, args):
                 # Tunnel-proof timing: no eager ops between compiled calls

@@ -29,7 +29,10 @@ TF2_CPU_BASELINE_IMAGES_PER_SEC = 0.004897
 
 def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
     from ldm_tf2_tpu.diffusion import make_schedule
-    from ldm_tf2_tpu.diffusion.sampler import ddim_sample_loop
+    from ldm_tf2_tpu.diffusion.sampler import (
+        ddim_sample_loop,
+        ddim_sample_loop_deepcache,
+    )
     from ldm_tf2_tpu.models import AutoencoderKL, TransformerModel, UNet
 
     # LDM_BENCH_ATTN=xla|flash|auto overrides the attention impl for A/B.
@@ -37,6 +40,12 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
         from ldm_tf2_tpu.ops.attention import set_attention_impl
 
         set_attention_impl(os.environ["LDM_BENCH_ATTN"])
+    # LDM_BENCH_FUSED_CONV=xla|pallas|auto overrides the ResBlock
+    # GN+SiLU+conv3x3 impl for A/B.
+    if os.environ.get("LDM_BENCH_FUSED_CONV"):
+        from ldm_tf2_tpu.ops.fused_conv import set_fused_conv_impl
+
+        set_fused_conv_impl(os.environ["LDM_BENCH_FUSED_CONV"])
 
     dtype = jnp.bfloat16
     unet = UNet(dtype=dtype)
@@ -81,18 +90,43 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
             (unet_params, cond_params, ae_params),
         )
 
+    # LDM_BENCH_DEEPCACHE=N (N>1): DeepCache-accelerated loop — full U-Net
+    # every N steps, shallow levels only in between (opt-in quality
+    # trade-off, ldm_sampling.cache_interval).
+    cache_interval = int(os.environ.get("LDM_BENCH_DEEPCACHE", "1"))
+
     def pipeline(params, token_ids, key):
         unet_p, cond_p, ae_p = params
         context = cond.apply({"params": cond_p}, token_ids)
-        eps_model = lambda x, t, c: unet.apply({"params": unet_p}, x, t, c)
-        x0 = ddim_sample_loop(
-            eps_model,
-            schedule,
-            context,
-            (batch, latent, latent, 4),
-            key,
-            guidance_scale=5.0,
-        )
+        if cache_interval > 1:
+            eps_full = lambda x, t, c: unet.apply(
+                {"params": unet_p}, x, t, c, return_cache=True
+            )
+            eps_shallow = lambda x, t, c, cache: unet.apply(
+                {"params": unet_p}, x, t, c, shallow_cache=cache
+            )
+            x0 = ddim_sample_loop_deepcache(
+                eps_full,
+                eps_shallow,
+                schedule,
+                context,
+                (batch, latent, latent, 4),
+                key,
+                guidance_scale=5.0,
+                cache_interval=cache_interval,
+            )
+        else:
+            eps_model = lambda x, t, c: unet.apply(
+                {"params": unet_p}, x, t, c
+            )
+            x0 = ddim_sample_loop(
+                eps_model,
+                schedule,
+                context,
+                (batch, latent, latent, 4),
+                key,
+                guidance_scale=5.0,
+            )
         images = ae.apply(
             {"params": ae_p}, x0 / 0.18215, method=AutoencoderKL.decode
         )

@@ -42,7 +42,9 @@ def main(_):
     from ldm_tf2_tpu.configs import load_config
     from ldm_tf2_tpu.data.tokenizer import cfg_token_ids, load_tokenizer
     from ldm_tf2_tpu.diffusion.sampler import (
+        ddim_img2img_loop,
         ddim_sample_loop,
+        ddim_sample_loop_deepcache,
         ddim_sample_loop_progressive,
         ddpm_sample_loop,
     )
@@ -112,6 +114,33 @@ def main(_):
             "ldm_sampling.sample_save_progress only supports sampler: ddim"
         )
     sample_loop = sample_loops[sampler_name]
+    # DeepCache (additive, diffusion/sampler.py ddim_sample_loop_deepcache):
+    # full U-Net every cache_interval steps, shallow-levels-only in between.
+    cache_interval = int(sampling.get("cache_interval", 1))
+    cache_levels = int(sampling.get("cache_levels", 1))
+    if cache_interval > 1 and save_progress:
+        raise ValueError(
+            "ldm_sampling.cache_interval > 1 does not support "
+            "sample_save_progress"
+        )
+    # img2img / inpainting (additive; diffusion/sampler.py
+    # ddim_img2img_loop): init_image_path = .npy [B|1, H, W, 3] uint8;
+    # mask_path = .npy [H, W] / [B, H, W] float (1 = regenerate, 0 = keep),
+    # resized to the latent grid with nearest.
+    init_image_path = sampling.get("init_image_path")
+    mask_path = sampling.get("mask_path")
+    strength = float(sampling.get("strength", 0.75))
+    if init_image_path and (
+        sampler_name != "ddim" or save_progress or cache_interval > 1
+    ):
+        raise ValueError(
+            "ldm_sampling.init_image_path requires sampler: ddim without "
+            "sample_save_progress or cache_interval"
+        )
+    if mask_path and not init_image_path:
+        raise ValueError(
+            "ldm_sampling.mask_path requires init_image_path"
+        )
 
     def decode(ae_params, latents):
         latents = latents / scale_factor
@@ -153,6 +182,82 @@ def main(_):
                 unflat(decode(ae_p, flat(pred_x0_prog))),
             )
 
+    elif init_image_path:
+        init_image = np.load(init_image_path)
+        if init_image.ndim == 3:
+            init_image = init_image[None]
+        if init_image.dtype == np.uint8:
+            init_image = init_image.astype(np.float32) / 127.5 - 1.0
+        if init_image.shape[0] == 1 and shape[0] > 1:
+            init_image = np.tile(init_image, (shape[0], 1, 1, 1))
+        if init_image.shape[0] != shape[0]:
+            raise ValueError(
+                f"init image batch {init_image.shape[0]} != latent batch "
+                f"{shape[0]}"
+            )
+        # the AE downsamples by 2^(levels-1); the encoded latent must land
+        # exactly on ldm_sampling.latent_shape
+        ae_key = "autoencoder_kl" if ae_type == "kl" else "autoencoder_vq"
+        factor = 2 ** (len(config[ae_key]["multipliers"]) - 1)
+        want_hw = (shape[1] * factor, shape[2] * factor)
+        if init_image.shape[1:3] != want_hw:
+            raise ValueError(
+                f"init image is {init_image.shape[1:3]}, but latent_shape "
+                f"{shape[1:3]} with the f{factor} autoencoder needs "
+                f"{want_hw}"
+            )
+        init_image = jnp.asarray(init_image)
+        mask = None
+        if mask_path:
+            m = np.load(mask_path).astype(np.float32)
+            if m.ndim == 2:
+                m = m[None]
+            m = jax.image.resize(
+                jnp.asarray(m), (m.shape[0], shape[1], shape[2]), "nearest"
+            )[..., None]
+            mask = m
+
+        def pipeline(params, token_ids, key):
+            cond_p, unet_p, ae_p = params
+            context = cond_model.apply({"params": cond_p}, token_ids)
+            key, enc_key = jax.random.split(key)
+            if ae_type == "kl":
+                posterior = autoencoder.apply(
+                    {"params": ae_p}, init_image,
+                    method=AutoencoderKL.encode,
+                )
+                init_latent = posterior.sample(enc_key)
+            else:
+                init_latent = autoencoder.apply(
+                    {"params": ae_p}, init_image, only_encode=True,
+                    method=AutoencoderVQ.encode,
+                )
+            init_latent = init_latent * scale_factor
+            x0 = ddim_img2img_loop(
+                eps_model_of(unet_p), schedule, context, init_latent, key,
+                strength=strength, guidance_scale=guidance_scale, mask=mask,
+            )
+            return decode(ae_p, x0)
+
+    elif cache_interval > 1:
+
+        def pipeline(params, token_ids, key):
+            cond_p, unet_p, ae_p = params
+            context = cond_model.apply({"params": cond_p}, token_ids)
+            eps_full = lambda x, t, c: unet.apply(
+                {"params": unet_p}, x, t, c,
+                return_cache=True, cache_levels=cache_levels,
+            )
+            eps_shallow = lambda x, t, c, cache: unet.apply(
+                {"params": unet_p}, x, t, c,
+                shallow_cache=cache, cache_levels=cache_levels,
+            )
+            x0 = ddim_sample_loop_deepcache(
+                eps_full, eps_shallow, schedule, context, shape, key,
+                guidance_scale, cache_interval=cache_interval,
+            )
+            return decode(ae_p, x0)
+
     else:
 
         def pipeline(params, token_ids, key):
@@ -189,9 +294,19 @@ def main(_):
             "sampling on a single device."
         )
     key = jax.random.PRNGKey(FLAGS.seed)
+    cache_note = (
+        f", deepcache interval {cache_interval} (levels {cache_levels})"
+        if cache_interval > 1
+        else ""
+    )
+    if init_image_path:
+        cache_note += (
+            f", img2img strength {strength}"
+            + (" + mask" if mask_path else "")
+        )
     print(
         f"[INFO] Sampling: {sampler_name}, {schedule.num_ddim_steps} steps, "
-        f"eta {schedule.eta}, guidance {guidance_scale}..."
+        f"eta {schedule.eta}, guidance {guidance_scale}{cache_note}..."
     )
     out = jax.jit(pipeline)(params, token_ids, key)
 

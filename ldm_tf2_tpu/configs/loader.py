@@ -76,6 +76,37 @@ def load_config(path: str) -> dict:
                 f"{ae_type!r}"
             )
 
+    # Additive DeepCache keys (diffusion/sampler.py
+    # ddim_sample_loop_deepcache): cache_interval=1 (default) is the exact
+    # reference path; >1 reuses deep U-Net features across steps.
+    sampling = config.get("ldm_sampling") or {}
+    cache_interval = sampling.get("cache_interval", 1)
+    cache_levels = sampling.get("cache_levels", 1)
+    if not isinstance(cache_interval, int) or cache_interval < 1:
+        raise ValueError(
+            "ldm_sampling.cache_interval must be an int >= 1, got "
+            f"{cache_interval!r}"
+        )
+    if not isinstance(cache_levels, int) or cache_levels < 1:
+        raise ValueError(
+            "ldm_sampling.cache_levels must be an int >= 1, got "
+            f"{cache_levels!r}"
+        )
+    if cache_interval > 1 and sampling.get("sampler", "ddim") != "ddim":
+        raise ValueError(
+            "ldm_sampling.cache_interval > 1 requires sampler: ddim, got "
+            f"{sampling.get('sampler')!r}"
+        )
+    strength = sampling.get("strength", 0.75)
+    if not isinstance(strength, (int, float)) or not 0.0 <= strength <= 1.0:
+        raise ValueError(
+            f"ldm_sampling.strength must be in [0, 1], got {strength!r}"
+        )
+    if sampling.get("mask_path") and not sampling.get("init_image_path"):
+        raise ValueError(
+            "ldm_sampling.mask_path requires ldm_sampling.init_image_path"
+        )
+
     tpu = dict(_TPU_DEFAULTS)
     tpu.update(config.get("tpu") or {})
     if tpu["compute_dtype"] not in _DTYPES:

@@ -30,15 +30,25 @@ def tokenize_prompts(
 
 
 def cfg_token_ids(
-    tokenizer, prompt: str, batch_size: int, max_length: int = 77
+    tokenizer, prompt, batch_size: int, max_length: int = 77
 ) -> np.ndarray:
-    """[2B, L] ids: B copies of the tokenized "" (uncond) then B copies of
-    the prompt (run_ldm_sampler.py:28-46)."""
-    ids = tokenize_prompts(tokenizer, ["", prompt], max_length)
-    uncond, cond = ids[0], ids[1]
-    return np.concatenate(
-        [np.tile(uncond, (batch_size, 1)), np.tile(cond, (batch_size, 1))]
-    )
+    """[2B, L] ids: B copies of the tokenized "" (uncond) then the B cond
+    rows (run_ldm_sampler.py:28-46).
+
+    ``prompt`` may be a single string (tiled over the batch, the reference
+    semantics) or a list of ``batch_size`` strings — per-example prompts in
+    one CFG batch (additive; the reference only samples one prompt)."""
+    prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+    if len(prompts) not in (1, batch_size):
+        raise ValueError(
+            f"text_prompt must be one string or a list of {batch_size}, "
+            f"got {len(prompts)} prompts"
+        )
+    ids = tokenize_prompts(tokenizer, [""] + prompts, max_length)
+    uncond, cond = ids[0], ids[1:]
+    if cond.shape[0] == 1:
+        cond = np.tile(cond, (batch_size, 1))
+    return np.concatenate([np.tile(uncond, (batch_size, 1)), cond])
 
 
 def null_condition_ids(batch_size: int, max_length: int = 77) -> np.ndarray:

@@ -66,7 +66,19 @@ def ddim_step(
         eps_model(jnp.concatenate([xt, xt], axis=0), t, cond), 2, axis=0
     )
     eps = eps_uncond + guidance_scale * (eps - eps_uncond)
+    return ddim_update(schedule, xt, eps, index, key, clip_denoised)
 
+
+def ddim_update(
+    schedule: DiffusionSchedule,
+    xt: jnp.ndarray,
+    eps: jnp.ndarray,
+    index: jnp.ndarray,
+    key: jax.Array,
+    clip_denoised: bool = False,
+):
+    """The post-epsilon DDIM update (model_runners.py:455-468): pred_x0
+    from the recip-alpha tables, DDIM mean, eta-noise."""
     take = lambda tbl: jnp.take(jnp.asarray(tbl), index).astype(xt.dtype)
     pred_x0 = (
         take(schedule.ddim_sqrt_recip_alphas_cumprod) * xt
@@ -133,6 +145,198 @@ def ddim_sample_loop(
         (xt, key),
         jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32),
     )
+    return x0
+
+
+def ddim_sample_loop_deepcache(
+    eps_model_full: EpsModel,
+    eps_model_shallow: EpsModel,
+    schedule: DiffusionSchedule,
+    context: jnp.ndarray,
+    shape: tuple[int, ...],
+    key: jax.Array,
+    guidance_scale: float = 5.0,
+    cache_interval: int = 2,
+    clip_denoised: bool = False,
+    init_noise: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """DDIM loop with deep-feature caching (DeepCache, Ma et al. 2023 /
+    encoder propagation, arXiv:2312.09608 — see PAPERS.md).
+
+    The U-Net's deep levels change slowly across adjacent denoise steps.
+    Every ``cache_interval``-th step runs the full U-Net and captures the
+    deep boundary feature; the following ``cache_interval - 1`` steps run
+    only the shallow levels against that cached feature (models/unet.py
+    ``shallow_cache``/``return_cache``).  At 256² with cache_levels=1 a
+    shallow step costs ~30% of a full step, so interval 2 ≈ 1.5× and
+    interval 3 ≈ 1.8× sampling throughput, at a small quality cost —
+    an *opt-in* acceleration (``ldm_sampling.cache_interval``); the
+    default path stays bit-identical to the reference semantics.
+
+    Args:
+      eps_model_full: (xt2 [2B], t [2B], context) -> (eps [2B], cache).
+      eps_model_shallow: (xt2, t, context, cache) -> eps.
+      cache_interval: run the full U-Net every this-many steps (1 = every
+        step; equivalent to ``ddim_sample_loop``).
+    """
+    num_steps = len(schedule.ddim_steps)
+    interval = max(int(cache_interval), 1)
+    key, init_key = jax.random.split(key)
+    if init_noise is None:
+        xt = jax.random.normal(init_key, shape, dtype=context.dtype)
+    else:
+        xt = init_noise
+    ddim_steps = jnp.asarray(schedule.ddim_steps)
+
+    def cfg(eps2):
+        eps_uncond, eps = jnp.split(eps2, 2, axis=0)
+        return eps_uncond + guidance_scale * (eps - eps_uncond)
+
+    def full_step(xt, index, step_key):
+        t = jnp.full((xt.shape[0] * 2,), ddim_steps[index], jnp.float32)
+        eps2, cache = eps_model_full(
+            jnp.concatenate([xt, xt], axis=0), t, context
+        )
+        sample, _ = ddim_update(
+            schedule, xt, cfg(eps2), index, step_key, clip_denoised
+        )
+        return sample, cache
+
+    def shallow_step(xt, cache, index, step_key):
+        t = jnp.full((xt.shape[0] * 2,), ddim_steps[index], jnp.float32)
+        eps2 = eps_model_shallow(
+            jnp.concatenate([xt, xt], axis=0), t, context, cache
+        )
+        sample, _ = ddim_update(
+            schedule, xt, cfg(eps2), index, step_key, clip_denoised
+        )
+        return sample
+
+    def group(xt, key, base_index, n_steps):
+        """One full step at ``base_index`` + n_steps-1 shallow steps
+        (statically unrolled; n_steps <= interval)."""
+        key, k0 = jax.random.split(key)
+        xt, cache = full_step(xt, base_index, k0)
+        for j in range(1, n_steps):
+            key, kj = jax.random.split(key)
+            xt = shallow_step(xt, cache, base_index - j, kj)
+        return xt, key
+
+    num_groups, tail = divmod(num_steps, interval)
+
+    def body(carry, g):
+        xt, key = carry
+        base = num_steps - 1 - g * interval
+        xt, key = group(xt, key, base, interval)
+        return (xt, key), None
+
+    (xt, key), _ = jax.lax.scan(
+        body, (xt, key), jnp.arange(num_groups, dtype=jnp.int32)
+    )
+    if tail:
+        xt, key = group(
+            xt, key, jnp.int32(tail - 1), tail
+        )
+    return xt
+
+
+def ddim_img2img_loop(
+    eps_model: EpsModel,
+    schedule: DiffusionSchedule,
+    context: jnp.ndarray,
+    init_latent: jnp.ndarray,
+    key: jax.Array,
+    strength: float = 0.75,
+    guidance_scale: float = 5.0,
+    clip_denoised: bool = False,
+    mask: jnp.ndarray | None = None,
+    init_noise: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """SDEdit-style image-to-image + latent inpainting (additive — the
+    reference CLI is txt2img-only; semantics follow SDEdit, Meng et al.
+    2021, and the CompVis img2img script).
+
+    Diffuses ``init_latent`` forward to ``round(strength * S)`` DDIM steps
+    of noise (q_sample on the full-timeline tables), then runs only those
+    reverse steps.  With ``mask`` (1 = regenerate, 0 = keep), the kept
+    region is re-imposed after every step at that step's exact noise level
+    (freshly drawn forward noise), so the composite stays on the forward
+    marginal and the final output's kept region is the init latent at the
+    near-zero terminal noise level.
+
+    Args:
+      context: [2B, seq, d] text embeddings, uncond half first.
+      init_latent: [B, h, w, c] init-image latents, already multiplied by
+        ``scale_factor``.
+      strength: fraction of the DDIM schedule to traverse (0 = return
+        ``init_latent`` unchanged, 1 = start from almost-pure noise).
+      mask: optional latent-resolution float mask broadcastable to
+        ``init_latent`` (1 = regenerate, 0 = keep).
+      init_noise: injected forward noise for trajectory tests.
+    Returns:
+      x0 latents [B, h, w, c].
+    """
+    num_steps = len(schedule.ddim_steps)
+    if not 0.0 <= strength <= 1.0:
+        raise ValueError(f"strength must be in [0, 1], got {strength}")
+    t_enc = int(round(float(strength) * num_steps))
+    if t_enc == 0:
+        return init_latent
+    key, noise_key = jax.random.split(key)
+    noise0 = (
+        jax.random.normal(noise_key, init_latent.shape, init_latent.dtype)
+        if init_noise is None
+        else init_noise
+    )
+    from ldm_tf2_tpu.diffusion.losses import q_sample
+
+    t_start = jnp.full(
+        (init_latent.shape[0],),
+        int(schedule.ddim_steps[t_enc - 1]),
+        jnp.int32,
+    )
+    xt = q_sample(
+        jnp.asarray(schedule.sqrt_alphas_cumprod),
+        jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod),
+        init_latent,
+        t_start,
+        noise0,
+    )
+
+    def body(carry, index):
+        xt, key = carry
+        key, step_key, blend_key = jax.random.split(key, 3)
+        sample, _ = ddim_step(
+            eps_model,
+            schedule,
+            xt,
+            context,
+            index,
+            step_key,
+            guidance_scale,
+            clip_denoised,
+        )
+        if mask is not None:
+            acp_prev = jnp.take(
+                jnp.asarray(schedule.ddim_alphas_cumprod_prev), index
+            ).astype(sample.dtype)
+            keep_noise = jax.random.normal(
+                blend_key, sample.shape, sample.dtype
+            )
+            keep = (
+                jnp.sqrt(acp_prev) * init_latent.astype(sample.dtype)
+                + jnp.sqrt(jnp.maximum(1.0 - acp_prev, 0.0)) * keep_noise
+            )
+            sample = mask * sample + (1.0 - mask) * keep
+        return (sample, key), None
+
+    (x0, _), _ = jax.lax.scan(
+        body, (xt, key), jnp.arange(t_enc - 1, -1, -1, dtype=jnp.int32)
+    )
+    if mask is not None:
+        # Terminal exactness: the kept region is the init latent itself
+        # (the loop leaves it at the acp_prev[0] ~ 1 noise level).
+        x0 = mask * x0 + (1.0 - mask) * init_latent.astype(x0.dtype)
     return x0
 
 

@@ -2,6 +2,7 @@
 -> LDM training -> sampling, exercising the same script surface as the
 reference's run_*.py flow (SURVEY.md §3 call stacks)."""
 
+import json
 import os
 import sys
 
@@ -249,6 +250,43 @@ def test_config_loader_validates(workspace):
     assert cfg["tpu"]["weights_dtype"] is None
 
 
+def test_config_loader_validates_deepcache_keys(workspace):
+    import pytest
+    import yaml as _yaml
+
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    with open(config_path) as f:
+        base = _yaml.safe_load(f)
+
+    def write(mutate):
+        cfg = _yaml.safe_load(_yaml.safe_dump(base))
+        mutate(cfg)
+        path = str(root / "config_dc_check.yaml")
+        with open(path, "w") as f:
+            _yaml.safe_dump(cfg, f)
+        return path
+
+    # valid: interval 3, levels 1
+    path = write(lambda c: c["ldm_sampling"].update(cache_interval=3))
+    assert load_config(path)["ldm_sampling"]["cache_interval"] == 3
+    # invalid interval
+    path = write(lambda c: c["ldm_sampling"].update(cache_interval=0))
+    with pytest.raises(ValueError, match="cache_interval"):
+        load_config(path)
+    # invalid levels
+    path = write(lambda c: c["ldm_sampling"].update(cache_levels="x"))
+    with pytest.raises(ValueError, match="cache_levels"):
+        load_config(path)
+    # deepcache requires ddim
+    path = write(
+        lambda c: c["ldm_sampling"].update(cache_interval=2, sampler="plms")
+    )
+    with pytest.raises(ValueError, match="sampler: ddim"):
+        load_config(path)
+
+
 def test_cast_inference_params(workspace):
     import jax.numpy as jnp
 
@@ -333,6 +371,91 @@ def test_ae_trainer_cli(workspace):
         ["run_autoencoder_trainer", f"--config_path={config_path}"],
     )
     assert (root / "aekl").exists()
+
+
+def test_sampler_cli_deepcache(workspace):
+    """ldm_sampling.cache_interval > 1 routes through the DeepCache loop
+    (diffusion/sampler.py ddim_sample_loop_deepcache)."""
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["ldm_sampling"]["cache_interval"] = 2
+    path = str(root / "config_deepcache.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(run_ldm_sampler, ["run_ldm_sampler", f"--config_path={path}"])
+    images = np.load(root / "images.npy")
+    assert images.shape == (2, IMG, IMG, 3)
+    assert images.dtype == np.uint8
+
+
+def test_serve_ldm_loop(workspace):
+    """The serving loop (cli/serve_ldm.py): jit once, answer multiple
+    JSONL requests — including per-request guidance (no recompile), a
+    per-example prompt list, and a malformed request that must produce an
+    error response without killing the loop."""
+    import io
+
+    from ldm_tf2_tpu.cli.serve_ldm import serve
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    os.chdir(root)
+    cfg = load_config(config_path)
+    requests = "\n".join(
+        [
+            '{"prompt": "a virus monster", "seed": 1, "out": "r1"}',
+            '{"prompt": ["guitar", "canvas oil"], "seed": 2,'
+            ' "guidance_scale": 2.5, "out": "r2"}',
+            "this is not json",
+            '{"cmd": "exit"}',
+            '{"prompt": "never reached", "out": "r3"}',
+        ]
+    )
+    out = io.StringIO()
+    serve(cfg, io.StringIO(requests), out, output_dir=str(root))
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(resps) == 3
+    assert resps[0]["ok"] and resps[1]["ok"]
+    assert not resps[2]["ok"] and "error" in resps[2]
+    for r in resps[:2]:
+        images = np.load(r["out"])
+        assert images.shape == (2, IMG, IMG, 3)
+        assert images.dtype == np.uint8
+    assert not (root / "r3.npy").exists()
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_sampler_cli_img2img(workspace, with_mask):
+    """ldm_sampling.init_image_path (+ mask_path) routes through the
+    SDEdit img2img / inpainting loop (diffusion/sampler.py
+    ddim_img2img_loop)."""
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+
+    root, config_path = workspace
+    os.chdir(root)
+    rng = np.random.RandomState(0)
+    init = rng.randint(0, 256, (1, IMG, IMG, 3), dtype=np.uint8)
+    np.save(root / "init.npy", init)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["ldm_sampling"]["init_image_path"] = str(root / "init.npy")
+    cfg["ldm_sampling"]["strength"] = 0.6
+    if with_mask:
+        mask = np.zeros((IMG, IMG), np.float32)
+        mask[: IMG // 2] = 1.0
+        np.save(root / "mask.npy", mask)
+        cfg["ldm_sampling"]["mask_path"] = str(root / "mask.npy")
+    path = str(root / "config_img2img.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(run_ldm_sampler, ["run_ldm_sampler", f"--config_path={path}"])
+    images = np.load(root / "images.npy")
+    assert images.shape == (2, IMG, IMG, 3)
+    assert images.dtype == np.uint8
 
 
 @pytest.mark.parametrize("sampler", ["plms", "dpm_solver_pp_2m", "ddpm"])

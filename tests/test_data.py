@@ -154,6 +154,33 @@ def test_tokenizer_null_condition():
     np.testing.assert_array_equal(ids[0], [101, 102, 0, 0, 0, 0, 0, 0])
 
 
+def test_cfg_token_ids_per_example_prompts(tmp_path):
+    """A list of batch_size prompts yields per-example cond rows (additive;
+    the reference tiles one prompt, run_ldm_sampler.py:28-46)."""
+    pytest.importorskip("transformers")
+    from ldm_tf2_tpu.data.tokenizer import cfg_token_ids, load_tokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "cat", "dog"]
+    vocab_dir = tmp_path / "vocab"
+    vocab_dir.mkdir()
+    (vocab_dir / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    tok = load_tokenizer(str(vocab_dir))
+
+    single = cfg_token_ids(tok, "cat", 2, max_length=6)
+    assert single.shape == (4, 6)
+    np.testing.assert_array_equal(single[0], single[1])  # uncond tiled
+    np.testing.assert_array_equal(single[2], single[3])  # prompt tiled
+
+    multi = cfg_token_ids(tok, ["cat", "dog"], 2, max_length=6)
+    assert multi.shape == (4, 6)
+    np.testing.assert_array_equal(multi[:2], single[:2])  # same uncond
+    np.testing.assert_array_equal(multi[2], single[2])    # "cat" row
+    assert not np.array_equal(multi[3], multi[2])         # "dog" differs
+
+    with pytest.raises(ValueError, match="one string or a list"):
+        cfg_token_ids(tok, ["cat", "dog", "cat"], 2, max_length=6)
+
+
 def test_indexed_dataset_deterministic_resume(tmp_path):
     """data/indexed.py: the batch at step s is a pure function of
     (seed, s) — an iterator started at step k reproduces a fresh run's

@@ -1,0 +1,103 @@
+"""Sample-quality evaluation CLI: FID (and optional CLIP score).
+
+The reference proves sample quality only qualitatively (README.md:156-188
+sample grids); this CLI closes the loop quantitatively:
+
+  python -m ldm_tf2_tpu.cli.run_eval \\
+      --generated images.npy --real real_images.npy \\
+      --lpips_ckpt_path lpips.ckpt-jax \\
+      [--clip_weights_path <dir> --prompts_path prompts.txt]
+
+Inputs are .npy image stacks ([N, H, W, 3], uint8 or float in [-1, 1])
+or directories of .npy stacks (concatenated).  Features come from the
+LPIPS checkpoint's VGG16 trunk (a perceptual "VGG-FID", eval/fid.py);
+plug an Inception extractor into eval.fid_from_features for the
+paper-standard number.  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+from absl import app, flags
+
+from ldm_tf2_tpu.cli._flags import define_string
+
+define_string("generated", None, ".npy stack (or dir of stacks) of generated images.")
+define_string("real", None, ".npy stack (or dir of stacks) of real images.")
+define_string("lpips_ckpt_path", None,
+              "LPIPS checkpoint (converted, orbax) for the VGG trunk.")
+define_string("clip_weights_path", None,
+              "Optional local transformers-format CLIP dir for CLIP score.")
+define_string("prompts_path", None,
+              "Optional text file, one prompt per line (for CLIP score).")
+
+FLAGS = flags.FLAGS
+
+
+def load_images(path: str) -> np.ndarray:
+    """[N, H, W, 3] float32 in [-1, 1] from a .npy stack or a directory."""
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.npy")))
+        if not files:
+            raise ValueError(f"no .npy files under {path}")
+        stack = np.concatenate([np.load(f) for f in files], axis=0)
+    else:
+        stack = np.load(path)
+    if stack.ndim == 3:
+        stack = stack[None]
+    if stack.ndim != 4 or stack.shape[-1] != 3:
+        raise ValueError(f"{path}: expected [N, H, W, 3], got {stack.shape}")
+    if stack.dtype == np.uint8:
+        stack = stack.astype(np.float32) / 127.5 - 1.0
+    return np.asarray(stack, np.float32)
+
+
+def main(_):
+    from ldm_tf2_tpu.checkpoints.manager import load_params
+    from ldm_tf2_tpu.eval import (
+        clip_score,
+        fid_from_features,
+        vgg_feature_extractor,
+    )
+
+    generated = load_images(FLAGS.generated)
+    real = load_images(FLAGS.real)
+    if generated.shape[1:] != real.shape[1:]:
+        raise ValueError(
+            f"shape mismatch: generated {generated.shape[1:]} vs real "
+            f"{real.shape[1:]}"
+        )
+
+    lpips_params = load_params(FLAGS.lpips_ckpt_path)
+    features = vgg_feature_extractor(lpips_params)
+    fid = fid_from_features(features(real), features(generated))
+
+    result = {
+        "metric": "vgg_fid",
+        "fid": round(fid, 6),
+        "num_generated": int(generated.shape[0]),
+        "num_real": int(real.shape[0]),
+    }
+    if FLAGS.clip_weights_path:
+        with open(FLAGS.prompts_path) as f:
+            prompts = [line.strip() for line in f if line.strip()]
+        result["clip_score"] = round(
+            clip_score(
+                (generated + 1.0) * 127.5,
+                prompts,
+                clip_weights_path=FLAGS.clip_weights_path,
+            ),
+            6,
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    flags.mark_flag_as_required("generated")
+    flags.mark_flag_as_required("real")
+    flags.mark_flag_as_required("lpips_ckpt_path")
+    app.run(main)

@@ -2,6 +2,7 @@
 and CLIP score (weights-gated)."""
 
 from ldm_tf2_tpu.eval.fid import (
+    clip_score,
     compute_statistics,
     fid_from_features,
     frechet_distance,
@@ -13,4 +14,5 @@ __all__ = [
     "compute_statistics",
     "fid_from_features",
     "vgg_feature_extractor",
+    "clip_score",
 ]

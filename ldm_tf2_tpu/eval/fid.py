@@ -106,21 +106,63 @@ def vgg_feature_extractor(
     return features
 
 
-def clip_score(*_args, clip_weights_path: str | None = None, **_kw) -> float:
-    """CLIP text-image alignment score — requires pretrained CLIP weights.
+def clip_score(
+    images: np.ndarray,
+    prompts: list[str],
+    clip_weights_path: str | None = None,
+    batch_size: int = 16,
+) -> float:
+    """Mean CLIP text-image cosine similarity (the standard CLIP score,
+    Hessel et al. arXiv:2104.08718, without the 2.5x rescale).
 
-    No offline fallback is meaningful (a random text/image encoder measures
-    nothing about alignment), so this raises with instructions unless a
-    local transformers-format CLIP checkpoint is supplied."""
+    Requires a local transformers-format CLIP checkpoint (e.g.
+    openai/clip-vit-base-patch32 downloaded into a directory): a random
+    text/image encoder measures nothing about alignment, so there is no
+    offline fallback.
+
+    Args:
+      images: [N, H, W, 3] uint8 (or float in [0, 255]).
+      prompts: N strings (or 1 string, tiled).
+    """
     if clip_weights_path is None:
         raise RuntimeError(
             "CLIP score needs pretrained weights. Download "
             "openai/clip-vit-base-patch32 (transformers format) and pass "
             "clip_weights_path=<dir>."
         )
-    from transformers import CLIPModel, CLIPProcessor  # noqa: F401
+    import torch
+    from transformers import CLIPModel, CLIPProcessor
 
-    raise NotImplementedError(
-        "wire CLIPModel.from_pretrained(clip_weights_path) here once "
-        "weights are present in the deployment image"
-    )
+    images = np.asarray(images)
+    if images.dtype != np.uint8:
+        images = np.clip(images, 0, 255).astype(np.uint8)
+    if isinstance(prompts, str):
+        prompts = [prompts]
+    if len(prompts) == 1:
+        prompts = prompts * len(images)
+    if len(prompts) != len(images):
+        raise ValueError(
+            f"{len(prompts)} prompts for {len(images)} images"
+        )
+
+    model = CLIPModel.from_pretrained(clip_weights_path).eval()
+    processor = CLIPProcessor.from_pretrained(clip_weights_path)
+    sims = []
+    with torch.no_grad():
+        for i in range(0, len(images), batch_size):
+            inputs = processor(
+                text=prompts[i:i + batch_size],
+                images=list(images[i:i + batch_size]),
+                return_tensors="pt",
+                padding=True,
+                truncation=True,
+            )
+            out = model(**inputs)
+            img = out.image_embeds / out.image_embeds.norm(
+                dim=-1, keepdim=True
+            )
+            txt = out.text_embeds / out.text_embeds.norm(
+                dim=-1, keepdim=True
+            )
+            sims.append((img * txt).sum(dim=-1).cpu().numpy())
+    return float(np.mean(np.concatenate(sims)))

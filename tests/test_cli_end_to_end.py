@@ -392,6 +392,50 @@ def test_sampler_cli_deepcache(workspace):
     assert images.dtype == np.uint8
 
 
+def test_run_eval_cli(workspace):
+    """FID eval CLI (cli/run_eval.py): identical sets score ~0; a shifted
+    set scores strictly higher."""
+    from ldm_tf2_tpu.cli import run_eval
+
+    root, config_path = workspace
+    os.chdir(root)
+    rng = np.random.RandomState(0)
+    real = rng.randint(0, 256, (6, IMG, IMG, 3), dtype=np.uint8)
+    same = real.copy()
+    shifted = np.clip(
+        real.astype(np.int32) + rng.randint(60, 120, real.shape), 0, 255
+    ).astype(np.uint8)
+    np.save(root / "real.npy", real)
+    np.save(root / "same.npy", same)
+    np.save(root / "shifted.npy", shifted)
+
+    import contextlib
+    import io
+
+    def fid_of(gen):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _run_cli(
+                run_eval,
+                [
+                    "run_eval",
+                    f"--generated={root / gen}",
+                    f"--real={root / 'real.npy'}",
+                    f"--lpips_ckpt_path={root / 'lpips-1'}",
+                ],
+            )
+        out = [
+            json.loads(l) for l in buf.getvalue().splitlines()
+            if l.startswith("{")
+        ]
+        return out[-1]
+
+    identical = fid_of("same.npy")
+    assert identical["num_generated"] == 6
+    assert identical["fid"] < 1e-4
+    assert fid_of("shifted.npy")["fid"] > identical["fid"]
+
+
 def test_serve_ldm_loop(workspace):
     """The serving loop (cli/serve_ldm.py): jit once, answer multiple
     JSONL requests — including per-request guidance (no recompile), a

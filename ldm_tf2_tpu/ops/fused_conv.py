@@ -11,9 +11,14 @@ tools/calibrate_fused_conv.py, v5e):
    the 3x3 SAME conv as 9 shifted [B,H,W,Ci]x[Ci,Co] `dot_general`s
    (`conv3x3_dots`) bypasses the emitter and measured 0.160 ms
    (378 TF/s, ~96% of the bf16 MXU roofline) on the cliff shape.
-   Selectable via set_fused_conv_impl("dots"); becomes the default once
-   the whole-pipeline A/B (compile-time cost of ~450 dots in the U-Net
-   body) is validated on hardware.
+   **Whole-pipeline A/B (v5e, same session): emitter 6.50 img/s, dots
+   5.66, dots3 5.44 at 256^2 b16** — the isolated cliff win does NOT
+   survive whole-program compilation (XLA pipelines the emitter convs
+   across the batch better than a 450-dot graph, and this session's
+   emitter compile drew no cliff).  `auto` therefore stays on the
+   emitter; set_fused_conv_impl("dots") is the deterministic escape
+   hatch when a given process's compile DOES draw the ~4 TF/s cliff
+   (detectable: a 256^2 U-Net eval far above ~30 ms).
 
 2. **The whole-chain Pallas kernel is NOT faster than dots+XLA-fusion at
    the hot shapes.**  It holds one image per grid step in VMEM — GN stats
@@ -460,8 +465,10 @@ def gn_silu_conv3x3(
 
     Why dots exists: XLA's conv emitter compiles some concat-conv shapes
     to ~4 TF/s nondeterministically across compiles, while the 9-dots
-    formulation measures ~378 TF/s on the same shape (it becomes the
-    default once the whole-pipeline A/B is validated on hardware).  The
+    formulation measures ~378 TF/s on the same shape.  The whole-pipeline
+    A/B settled the default: emitter 6.50 vs dots 5.66 img/s at 256^2
+    b16 (see module docstring) — emitter stays; dots is the escape hatch
+    for a cliff compile.  The
     Pallas whole-chain kernel (stats+normalize+SiLU+conv+epilogues in one
     VMEM pass) was calibrated on-device (tools/calibrate_fused_conv.py)
     at 104-237 TF/s on the hot CFG-batch-32 shapes — consistently below
@@ -484,9 +491,9 @@ def gn_silu_conv3x3(
             x, gamma, beta, w.astype(x.dtype), b, time_add, residual_add,
             num_groups, eps,
         )
-    # "auto" currently resolves to the conv emitter: the 9-dots pipeline
-    # A/B is pending on-TPU validation (compile-time cost of ~450 dots in
-    # the U-Net body needs measuring); flip to "dots" once validated.
+    # "auto" resolves to the conv emitter: the on-TPU pipeline A/B
+    # measured emitter 6.50 / dots 5.66 / dots3 5.44 img/s (256^2 b16,
+    # one session), so the emitter keeps the default.
     conv_impl = _IMPL if _IMPL in ("dots", "dots3") else "emitter"
     return _xla_ref(
         x, gamma, beta, w, b, time_add, residual_add, num_groups, eps,

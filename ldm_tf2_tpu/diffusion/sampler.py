@@ -167,11 +167,12 @@ def ddim_sample_loop_deepcache(
     Every ``cache_interval``-th step runs the full U-Net and captures the
     deep boundary feature; the following ``cache_interval - 1`` steps run
     only the shallow levels against that cached feature (models/unet.py
-    ``shallow_cache``/``return_cache``).  At 256² with cache_levels=1 a
-    shallow step costs ~30% of a full step, so interval 2 ≈ 1.5× and
-    interval 3 ≈ 1.8× sampling throughput, at a small quality cost —
-    an *opt-in* acceleration (``ldm_sampling.cache_interval``); the
-    default path stays bit-identical to the reference semantics.
+    ``shallow_cache``/``return_cache``).  Measured on v5e at 256² b16
+    (full pipeline, same session as the 6.50 img/s baseline): interval 2
+    → 8.70 img/s (1.34×), interval 3 → 9.73 img/s (1.50×), at a small
+    quality cost — an *opt-in* acceleration
+    (``ldm_sampling.cache_interval``); the default path stays
+    bit-identical to the reference semantics.
 
     Args:
       eps_model_full: (xt2 [2B], t [2B], context) -> (eps [2B], cache).

@@ -6,16 +6,19 @@ findings from on-device measurement (tools/probe_concat_conv.py,
 tools/calibrate_fused_conv.py, v5e):
 
 1. **XLA's conv emitter is a lottery on concat-conv shapes.**  The same
-   [16,32,32,640]->320 GN+conv graph compiles to 0.32 ms in one process
+   [16,32,32,640]->320 GN+conv graph compiles to sub-ms in one process
    and 14-16 ms (~4 TF/s) in another — nondeterministically.  Expressing
    the 3x3 SAME conv as 9 shifted [B,H,W,Ci]x[Ci,Co] `dot_general`s
-   (`conv3x3_dots`) bypasses the emitter and measured 0.160 ms
-   (378 TF/s, ~96% of the bf16 MXU roofline) on the cliff shape.
+   (`conv3x3_dots`) bypasses the emitter and never draws the cliff.
+   CORRECTION (tools/profile_op.py): the scan-chain timer that once
+   credited dots with 378 TF/s was invalid — conv is linear, so XLA
+   hoists the loop-invariant term and the chain degenerates (378 > the
+   chip's 197 TF/s bf16 peak).  Device-profiler numbers on the cliff
+   shape, same process: dots 0.486 ms (124 TF/s), emitter 0.510 ms
+   (118 TF/s), peak-matmul control 192 TF/s — i.e. when the emitter
+   does NOT draw the cliff the two are within 5%.
    **Whole-pipeline A/B (v5e, same session): emitter 6.50 img/s, dots
-   5.66, dots3 5.44 at 256^2 b16** — the isolated cliff win does NOT
-   survive whole-program compilation (XLA pipelines the emitter convs
-   across the batch better than a 450-dot graph, and this session's
-   emitter compile drew no cliff).  `auto` therefore stays on the
+   5.66, dots3 5.44 at 256^2 b16** — `auto` therefore stays on the
    emitter; set_fused_conv_impl("dots") is the deterministic escape
    hatch when a given process's compile DOES draw the ~4 TF/s cliff
    (detectable: a 256^2 U-Net eval far above ~30 ms).

@@ -19,6 +19,31 @@ path; ``set_groupnorm_impl("pallas"|"stats")`` remain as explicit opt-ins
 for shapes where no consumer fusion exists.  Kept as the worked example of
 profile-driven kernel evaluation: measure, don't assume.
 
+**Round-2 follow-up (device-profiler traces, tools/roofline_report.py,
+b16 CFG eval = 51.3 ms):** the GN stat reduces fuse into the *producer*
+convolutions (``convert_reduce_fusion``), and those convs run at
+113-140 TF/s while the only two GN-free convs in the program (the
+upsample convs) hit 180-187 TF/s.  Three attempts to detach the stats,
+all same-process A/B'd at the eval level:
+
+* ``barrier`` — ``optimization_barrier`` between conv and GN: **dead
+  neutral** (51.33 vs 51.27 ms).  Zero opt-barrier ops survive in the
+  optimized HLO on this backend; the pass pipeline strips them before
+  fusion.
+* ``dotstats`` — stat sums as dots against a runtime-poisoned ones
+  vector (un-fusable by construction): **52.30 ms, loses 1 ms.**  The
+  standalone dots + extra HBM re-read of x cost more than the epilogue
+  stall they remove.
+* ``pallas`` (fully fused GN, re-measured on current code): 51.98 ms,
+  still behind.
+
+Conclusion: XLA's conv+stats epilogue fusion is already the cheapest
+available formulation; the 113-140 TF/s on GN-convs is dominated by the
+normalize+SiLU *prologue* recompute inside the conv window iteration
+(both prologue-free convs hit 187), and every way of removing that
+prologue pays a materialization that outweighs the win.  The conv side
+of the 256^2 eval is at XLA's floor for this architecture.
+
 Kernel notes:
 * Layout [B, HW, C]; grid (B,), one batch row per grid step (double-
   buffered automatically).  All stats math is f32 in VMEM.
@@ -55,11 +80,15 @@ _VMEM_SLAB_LIMIT = 6 * 1024 * 1024
 
 
 def set_groupnorm_impl(impl: str) -> None:
-    """"auto": Pallas one-pass stats + XLA normalize on TPU (keeps the
-    consumer fusion), XLA elsewhere. "stats": force the hybrid (tests).
-    "pallas": fully fused kernel. "xla": reference path."""
+    """"auto"/"barrier": MXU-einsum stats behind an optimization_barrier
+    (keeps the stat reduces out of the producer conv fusion — see
+    _mxu_stats_group_norm). "mxu": same without the barrier. "stats":
+    Pallas one-pass stats hybrid. "pallas": fully fused kernel. "xla":
+    reference path."""
     global _IMPL
-    if impl not in ("auto", "xla", "pallas", "stats", "mxu"):
+    if impl not in (
+        "auto", "xla", "pallas", "stats", "mxu", "barrier", "dotstats"
+    ):
         raise ValueError(f"unknown groupnorm impl: {impl!r}")
     _IMPL = impl
 
@@ -268,14 +297,32 @@ def _pallas_group_stats(x, num_groups, eps):
     return mean.reshape(b, c), rstd.reshape(b, c)
 
 
-def _mxu_stats_group_norm(x, gamma, beta, num_groups, eps, activate):
+def _mxu_stats_group_norm(x, gamma, beta, num_groups, eps, activate,
+                          barrier=False):
     """GroupNorm with stats computed as einsums against the one-hot
     channel->group matrix: the sums ride the MXU as [HW,C]x[C,G] dots
     (~1.3 GFLOP per U-Net eval — negligible) instead of XLA's VPU
     convert+reduce chains (~11 ms/eval measured), while staying plain XLA
     so the normalize/affine/SiLU chain still fuses into the consuming
-    conv.  Pure function — differentiable without a custom vjp."""
+    conv.  Pure function — differentiable without a custom vjp.
+
+    ``barrier=True`` puts an ``optimization_barrier`` between ``x`` and
+    everything this function computes.  Device traces of the 256^2 U-Net
+    eval (tools/roofline_report.py) show XLA fusing the stat reductions
+    into the *producer* convolution (``convert_reduce_fusion``), dragging
+    those convs to ~120 TF/s while reduce-free conv fusions on the same
+    program hit ~187 TF/s: the VPU reduce epilogue stalls the MXU.  The
+    barrier keeps the producer conv clean; the stats re-read x from HBM
+    (bf16, bandwidth-bound, ~30 us per GN — cheap next to a multi-100-us
+    MXU stall)."""
     b, *spatial, c = x.shape
+    if barrier:
+        x = jax.lax.optimization_barrier(x)
+    # NOTE: optimization_barrier does NOT survive to fusion on this TPU
+    # backend (zero opt-barrier ops in the optimized HLO; A/B dead
+    # neutral) — kept only so the intent is visible.  The variant that
+    # actually detaches the stat reduces from the producer conv is
+    # "dotstats" below.
     group_size = c // num_groups
     hw = 1
     for s in spatial:
@@ -297,6 +344,62 @@ def _mxu_stats_group_norm(x, gamma, beta, num_groups, eps, activate):
     mean_c = jnp.repeat(mean_g, group_size, axis=-1)  # [B, C]
     rstd_c = jnp.repeat(rstd_g, group_size, axis=-1)
 
+    shape = (b,) + (1,) * len(spatial) + (c,)
+    y = (x.astype(jnp.float32) - mean_c.reshape(shape)) * (
+        rstd_c.reshape(shape) * gamma.astype(jnp.float32)
+    ) + beta.astype(jnp.float32)
+    if activate:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _dot_stats_group_norm(x, gamma, beta, num_groups, eps, activate):
+    """GroupNorm whose stat sums are true MXU dots XLA cannot fuse away.
+
+    Device traces (tools/roofline_report.py, 256^2 CFG eval) show the
+    default path's stat reductions decomposed by XLA into per-channel
+    HW-reduces that fuse into the *producer* convolution's epilogue
+    (``convert_reduce_fusion``), dragging those convs from ~187 to
+    ~113-140 TF/s — the VPU reduce serializes against the MXU inside the
+    fusion.  An ``optimization_barrier`` does not survive to fusion on
+    this backend, so instead the HW-reduce here is a dot_general against
+    a *runtime-dependent* ones vector (``1 + 0*x[...]`` — float mul by
+    zero is not constant-folded because of NaN semantics), which XLA
+    must keep as a standalone MXU dot: the producer conv compiles clean,
+    and the stats re-read x from HBM (bandwidth-bound, ~50 us per GN).
+    """
+    b, *spatial, c = x.shape
+    group_size = c // num_groups
+    hw = 1
+    for s in spatial:
+        hw *= s
+    xf = x.astype(jnp.float32).reshape(b, hw, c)
+    # [HW, 8] ones the simplifier can't prove constant (see docstring);
+    # 8 lanes so the dot output is tile-aligned.
+    ones = 1.0 + 0.0 * jax.lax.broadcast_in_dim(
+        xf[0, :, 0], (hw, 8), (0,)
+    )
+    # [B, C, 8] <- contract HW;  column 0 is the sum.
+    s1 = jax.lax.dot_general(
+        xf, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[..., 0]
+    s2 = jax.lax.dot_general(
+        xf * xf, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[..., 0]
+    m = (
+        jnp.arange(c)[:, None] // group_size
+        == jnp.arange(num_groups)[None, :]
+    ).astype(jnp.float32)
+    n = float(hw * group_size)
+    mean_g = jnp.einsum("bc,cg->bg", s1, m) / n
+    var_g = jnp.maximum(
+        jnp.einsum("bc,cg->bg", s2, m) / n - mean_g * mean_g, 0.0
+    )
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, group_size, axis=-1)
+    rstd_c = jnp.repeat(rstd_g, group_size, axis=-1)
     shape = (b,) + (1,) * len(spatial) + (c,)
     y = (x.astype(jnp.float32) - mean_c.reshape(shape)) * (
         rstd_c.reshape(shape) * gamma.astype(jnp.float32)
@@ -396,6 +499,12 @@ def group_norm(
         return _fused_group_norm(x, gamma, beta, num_groups, eps, activate)
     if _IMPL == "stats" and _stats_shape_ok(x):
         return _hybrid_group_norm(x, gamma, beta, num_groups, eps, activate)
+    if _IMPL == "dotstats":
+        return _dot_stats_group_norm(x, gamma, beta, num_groups, eps, activate)
+    if _IMPL == "barrier":
+        return _mxu_stats_group_norm(
+            x, gamma, beta, num_groups, eps, activate, barrier=True
+        )
     if _IMPL in ("auto", "mxu"):
         return _mxu_stats_group_norm(x, gamma, beta, num_groups, eps, activate)
     return _xla_group_norm(x, gamma, beta, num_groups, eps, activate)

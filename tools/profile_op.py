@@ -48,7 +48,8 @@ def device_ms_by_case(trace_dir, n_iters):
             continue
         if tnames.get((e["pid"], e["tid"])) != "XLA Modules":
             continue
-        name = e["name"].split(".")[0]
+        # strip ".suffix" and the "(fingerprint)" some jax versions append
+        name = e["name"].split(".")[0].split("(")[0]
         by_mod[name] += e.get("dur", 0) / 1e3
         n_mod[name] += 1
     return {k: (v / max(n_mod[k], 1), n_mod[k]) for k, v in by_mod.items()}

@@ -141,23 +141,26 @@ def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1a_ref, w1b_ref, b1a_ref,
 
 
 def _pick_tiles(m: int, d: int):
-    """(TM, NB) from the on-device sweep (tools/bench_ffn.py +
-    /tmp/sweep_ffn, v5e, 2026-08-17): full-width NB=4d with a single
-    j-step wins everywhere it compiles (weight blocks have a constant
-    index so Mosaic keeps them resident); TM=256 best at d=320
-    (0.74 ms vs 1.21 XLA at CFG batch 32), TM=512 best at d=640
-    (0.53 vs 0.67).  Larger TM or d=1280 tiles exceed VMEM."""
+    """(TM, NB) from on-device sweeps (tools/bench_ffn.py, then
+    tools/sweep_ffn_tm.py with the profiler timer, v5e): full-width
+    NB=4d with a single j-step wins everywhere it compiles (weight
+    blocks have a constant index so Mosaic keeps them resident).
+    d=320 @ m=32768: TM 1024 > 512 > 256 > 128 (104.2/102.2/99.0/94.1
+    TF/s — the shape is capped by K=320 lane padding plus the erf-gelu
+    VPU load, not the tile); TM=2048 fails to compile.  d=640 @ m=8192:
+    512 ≈ 256 (158.8/158.6); 1024 fails."""
     h4 = 4 * d
-    for tm in ((256, 128) if d <= 320 else (512, 256, 128)):
+    tms = (1024, 512, 256, 128) if d <= 320 else (512, 256, 128)
+    for tm in tms:
         if m % tm == 0:
             return tm, h4
     return None
 
 
-def _pallas_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+def _pallas_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, tiles=None):
     b, t, d = x.shape
     m = b * t
-    tiles = _pick_tiles(m, d)
+    tiles = tiles or _pick_tiles(m, d)
     assert tiles is not None
     tm, nb = tiles
     h4 = 4 * d

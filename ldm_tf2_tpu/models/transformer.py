@@ -35,13 +35,17 @@ class Projection(nn.Module):
     mode="split":  [B,T,D] x [D,H,S] -> [B,T,H,S]
     mode="merge":  [B,T,H,S] x [H,S,D] -> [B,T,D]
 
-    ``packed=True`` (call-time) emits/consumes the flash kernel's native
-    layout [B,H,T,Sp] with the head dim zero-padded to the 128-lane tile —
-    the pad is folded into the projection weights (a few-hundred-KB weight
-    copy) so the attention op needs no activation relayout.  Param shapes
-    are identical in both modes (checkpoint contract preserved — see this
-    repo's checkpoints/convert_pytorch.py, which mirrors the reference's
-    convert_ckpt_pytorch_to_tf2.py:28-41).
+    ``packed=True`` (call-time) emits/consumes the flash kernel's flat
+    layout [B,T,H*Sp] with each head's dim zero-padded to the 128-lane
+    tile and heads laid out along the minor axis — the NATURAL output
+    layout of the projection matmul, so neither side needs any activation
+    relayout (the earlier [B,H,T,Sp] packed layout still cost one XLA
+    transpose per projection: "ntd,dhs->nhts" lowers to matmul + 0.61 ms
+    copy at the 256^2 b32 L0 shape).  The pad is folded into the
+    projection weights (a few-hundred-KB weight copy).  Param shapes are
+    identical in both modes (checkpoint contract preserved — see this
+    repo's checkpoints/convert_pytorch.py, which mirrors the reference
+    repo's converter, convert_ckpt_pytorch_to_tf2.py:28-41).
     """
 
     num_heads: int
@@ -73,8 +77,11 @@ class Projection(nn.Module):
             )
             if packed:
                 kernel = jnp.pad(kernel, ((0, 0), (0, pad), (0, 0)))
+                kernel = kernel.reshape(
+                    self.num_heads * (self.size_per_head + pad), hidden
+                )
                 out = jnp.einsum(
-                    "nhts,hsd->ntd", x, kernel.astype(self.dtype)
+                    "ntk,kd->ntd", x, kernel.astype(self.dtype)
                 )
             else:
                 out = jnp.einsum(
@@ -94,8 +101,11 @@ class Projection(nn.Module):
             )
             if packed:
                 kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad)))
+                kernel = kernel.reshape(
+                    hidden, self.num_heads * (self.size_per_head + pad)
+                )
                 out = jnp.einsum(
-                    "ntd,dhs->nhts", x, kernel.astype(self.dtype)
+                    "ntd,dk->ntk", x, kernel.astype(self.dtype)
                 )
             else:
                 out = jnp.einsum(
@@ -107,7 +117,8 @@ class Projection(nn.Module):
                     jnp.float32,
                 )
                 if packed:
-                    bias = jnp.pad(bias, (0, pad))
+                    bias = jnp.tile(jnp.pad(bias, (0, pad)),
+                                    (self.num_heads,))
                 out = out + bias.astype(self.dtype)
         return out
 

@@ -177,9 +177,10 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, query, context=None, *, training: bool = False):
         # Self-attention over long spatial token sequences takes the packed
-        # flash path: the projections emit the kernel's native [B,H,T,Sp]
-        # layout directly (pad folded into the weights), skipping the
-        # transpose+pad relayout of the generic dispatch.
+        # flash path: the projections emit the kernel's flat [B,T,H*Sp]
+        # layout directly (pad folded into the weights; heads minor-axis
+        # blocked), so q/k/v/out projections are plain matmuls with zero
+        # activation relayout on either side.
         from ldm_tf2_tpu.ops.attention import use_packed_flash
 
         packed = context is None and use_packed_flash(
@@ -212,11 +213,11 @@ class CrossAttention(nn.Module):
         )(context, packed=packed)
         if packed:
             from ldm_tf2_tpu.ops.flash_attention import (
-                flash_attention_packed,
+                flash_attention_flat,
             )
 
-            out = flash_attention_packed(
-                q, k, v, self.size_per_head**-0.5
+            out = flash_attention_flat(
+                q, k, v, self.size_per_head**-0.5, self.num_heads
             )
         else:
             out = dot_product_attention(

@@ -502,12 +502,13 @@ flash_attention.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------- packed --
-# Zero-relayout entry: operands already in the kernel's native layout
-# [B, H, T, Sp] with the head dim lane-padded (Sp % 128 == 0).  Produced
-# directly by the q/k/v projections (models.transformer.Projection
-# packed=True), which fold the pad into the projection weights — this
-# removes the transpose+pad HBM passes of `flash_attention` (~4.4 ms per
-# 512^2 U-Net eval, tools/profile_pipeline.py).
+# Head-major packed entry: operands in [B, H, T, Sp] with the head dim
+# lane-padded (Sp % 128 == 0).  Removes the transpose+pad HBM passes of
+# `flash_attention` (~4.4 ms per 512^2 U-Net eval), but XLA still pays a
+# matmul-output transpose per projection to PRODUCE this layout — the
+# `flash_attention_flat` entry below removes that too and is what the
+# models' packed=True projections now feed.  Kept as the layout A/B
+# reference (tools/ab_packed_layout.py).
 
 def lane_pad(s: int) -> int:
     """Head dim padded to the 128-lane tile width."""
@@ -569,3 +570,215 @@ def _bwd_packed(scale, residuals, g):
 
 
 flash_attention_packed.defvjp(_fwd_packed, _bwd_packed)
+
+
+# ------------------------------------------------------------------ flat --
+# Zero-copy packed entry: operands in [B, T, H*Sp] — the NATURAL output
+# layout of the q/k/v projection matmuls ("ntd,dk->ntk" with the [D,H,S]
+# kernel lane-padded and flattened to [D, H*Sp]).  The [B,H,T,Sp] entry
+# above still costs one XLA transpose per projection (einsum
+# "ntd,dhs->nhts" lowers to matmul + copy — 0.61 ms per L0 tensor on the
+# 256^2 b32 eval, tools/profile_op.py trace 2026-08-18); this layout needs
+# none on either side, and the merge projection consumes the kernel output
+# directly ("ntk,kd->ntd").  Each head's 128-lane column block is sliced by
+# the BlockSpec index map (block column index = bh % H), so the kernel
+# bodies are shared with the packed path unchanged.  The DMA for a
+# (block_q, Sp) tile out of [T, H*Sp] is strided (Sp*2-byte rows every
+# H*Sp*2 bytes) where the [BH, T, Sp] layout is contiguous — measured on
+# device before switching the models over (tools/ab_packed_layout.py).
+
+def _flat_specs(h, block_q, block_k, sp, transposed_grid=False):
+    """BlockSpecs slicing head bh%h's lane-column block from flat arrays.
+
+    Grid is (B*H, i, j); ``transposed_grid`` swaps which of i/j indexes the
+    q-block dim (the dkv kernel iterates kv-blocks major, q minor)."""
+    if transposed_grid:
+        qsel = lambda bh, j, i: (bh // h, i, bh % h)
+        ksel = lambda bh, j, i: (bh // h, j, bh % h)
+    else:
+        qsel = lambda bh, i, j: (bh // h, i, bh % h)
+        ksel = lambda bh, i, j: (bh // h, j, bh % h)
+    q_spec = pl.BlockSpec((1, block_q, sp), qsel, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, block_q, _LANE), qsel,
+                            memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, sp), ksel, memory_space=pltpu.VMEM)
+    return q_spec, row_spec, kv_spec
+
+
+def _forward_flat(qf, kf, vf, scale, h, block_q=None, block_k=None,
+                  save_residuals=False):
+    """Forward on the flat layout: qf [B, Q, H*Sp], kf/vf [B, KV, H*Sp]."""
+    b, q_len, hsp = qf.shape
+    kv_len = kf.shape[1]
+    sp = hsp // h
+    if block_q is None or block_k is None:
+        auto_q, auto_k = _pick_blocks(sp)
+        block_q = block_q or min(auto_q, _round_up(q_len, 8))
+        block_k = block_k or min(auto_k, _round_up(kv_len, _LANE))
+    q_pad = _round_up(q_len, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+    if q_pad != q_len:
+        qf = jnp.pad(qf, ((0, 0), (0, q_pad - q_len), (0, 0)))
+    if kv_pad != kv_len:
+        kf = jnp.pad(kf, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+
+    q_spec, row_spec, kv_spec = _flat_specs(h, block_q, block_k, sp)
+    grid = (b * h, q_pad // block_q, kv_pad // block_k)
+    out_specs = q_spec
+    out_shape = jax.ShapeDtypeStruct((b, q_pad, hsp), qf.dtype)
+    if save_residuals:
+        out_specs = [out_specs, row_spec]
+        out_shape = [out_shape, jax.ShapeDtypeStruct(
+            (b, q_pad, h * _LANE), jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
+            masked=kv_len != kv_pad, save_residuals=save_residuals,
+        ),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, sp), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * q_len * kv_len * sp,
+            bytes_accessed=(
+                qf.size * qf.dtype.itemsize
+                + (kf.size + vf.size) * kf.dtype.itemsize
+                * (q_pad // block_q)
+                + qf.size * qf.dtype.itemsize
+            ),
+            transcendentals=b * h * q_len * kv_len,
+        ),
+    )(qf, kf, vf)
+    if save_residuals:
+        out, lse = out
+        return out[:, :q_len], lse
+    return out[:, :q_len]
+
+
+def _backward_flat(qf, kf, vf, of, lse, dof, scale, h,
+                   block_q=None, block_k=None):
+    """Backward on the flat layout (same kernel bodies as packed)."""
+    b, q_len, hsp = qf.shape
+    kv_len = kf.shape[1]
+    sp = hsp // h
+    auto_q, auto_k = _pick_blocks_bwd(sp, q_len)
+    block_q = min(block_q or auto_q, _round_up(q_len, 8))
+    block_k = min(block_k or auto_k, _round_up(kv_len, _LANE))
+    q_pad = _round_up(q_len, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+
+    def pad_t(x, pad_len):
+        return jnp.pad(x, ((0, 0), (0, pad_len - x.shape[1]), (0, 0)))
+
+    qf = pad_t(qf, q_pad)
+    kf = pad_t(kf, kv_pad)
+    vf = pad_t(vf, kv_pad)
+    dof = pad_t(dof, q_pad)
+    of = pad_t(of, q_pad)
+
+    # Per-head di = rowsum(dO*O): reshape-only (memory order preserved).
+    di = (dof.astype(jnp.float32) * of.astype(jnp.float32)).reshape(
+        b, q_pad, h, sp
+    ).sum(-1)
+    di = jnp.broadcast_to(
+        di[..., None], (b, q_pad, h, _LANE)
+    ).reshape(b, q_pad, h * _LANE)
+    if lse.shape[1] < q_pad:
+        lse = jnp.pad(lse, ((0, 0), (0, q_pad - lse.shape[1]), (0, 0)))
+    else:
+        lse = lse[:, :q_pad]
+
+    q_spec, row_spec, kv_spec = _flat_specs(h, block_q, block_k, sp)
+    flops_qk = 2 * b * h * q_len * kv_len * sp
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k,
+                          kv_len=kv_len, masked=kv_len != kv_pad),
+        grid=(b * h, q_pad // block_q, kv_pad // block_k),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, q_pad, hsp), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, sp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * flops_qk,
+            bytes_accessed=(qf.size + dof.size) * qf.dtype.itemsize
+            + (kf.size + vf.size) * kf.dtype.itemsize * (q_pad // block_q)
+            + qf.size * qf.dtype.itemsize,
+            transcendentals=b * h * q_len * kv_len,
+        ),
+    )(qf, kf, vf, dof, lse, di)
+
+    q_spec_t, row_spec_t, kv_spec_t = _flat_specs(
+        h, block_q, block_k, sp, transposed_grid=True
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_k=block_k,
+                          kv_len=kv_len, masked=kv_len != kv_pad),
+        grid=(b * h, kv_pad // block_k, q_pad // block_q),
+        in_specs=[q_spec_t, q_spec_t, row_spec_t, row_spec_t,
+                  kv_spec_t, kv_spec_t],
+        out_specs=[kv_spec_t, kv_spec_t],
+        out_shape=[jax.ShapeDtypeStruct((b, kv_pad, hsp), kf.dtype),
+                   jax.ShapeDtypeStruct((b, kv_pad, hsp), vf.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, sp), jnp.float32),
+                        pltpu.VMEM((block_k, sp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * flops_qk,
+            bytes_accessed=(kf.size + vf.size) * kf.dtype.itemsize
+            + (qf.size + dof.size) * qf.dtype.itemsize
+            * (kv_pad // block_k)
+            + 2 * kf.size * kf.dtype.itemsize,
+            transcendentals=b * h * q_len * kv_len,
+        ),
+    )(qf, dof, lse, di, kf, vf)
+
+    return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_flat(q, k, v, scale, num_heads):
+    """q [B, Tq, H*Sp], k/v [B, Tkv, H*Sp] -> [B, Tq, H*Sp].
+
+    Sp = (H*Sp)/num_heads must be a 128 multiple; within each head's
+    column block the valid head dim occupies the leading lanes and the
+    rest MUST be zero (same contract as `flash_attention_packed`)."""
+    return _forward_flat(q, k, v, scale, num_heads)
+
+
+def _fwd_flat(q, k, v, scale, num_heads):
+    if _FLASH_BACKWARD == "pallas":
+        o, lse = _forward_flat(q, k, v, scale, num_heads,
+                               save_residuals=True)
+        return o, (q, k, v, o, lse)
+    return _forward_flat(q, k, v, scale, num_heads), (q, k, v, None, None)
+
+
+def _bwd_flat(scale, num_heads, residuals, g):
+    q, k, v, o, lse = residuals
+    if lse is not None:
+        return _backward_flat(q, k, v, o, lse, g, scale, num_heads)
+
+    b, t, hsp = q.shape
+    kv = k.shape[1]
+    sp = hsp // num_heads
+
+    def ref(q, k, v):
+        def split(x, length):
+            return x.reshape(b, length, num_heads, sp)
+
+        out = _xla_reference(
+            split(q, t), split(k, kv), split(v, kv), scale
+        )
+        return out.reshape(b, t, hsp)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+flash_attention_flat.defvjp(_fwd_flat, _bwd_flat)

@@ -112,6 +112,89 @@ def test_flash_packed_matches_reference():
         np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4)
 
 
+def test_flash_flat_matches_reference():
+    """Flat entry ([B,T,H*Sp], heads minor-blocked) fwd + grads vs XLA."""
+    from ldm_tf2_tpu.ops.flash_attention import (
+        flash_attention_flat,
+        lane_pad,
+    )
+
+    b, t, h, s = 1, 128, 2, 40
+    sp = lane_pad(s)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(keys[0], (b, t, h, s))
+    k = jax.random.normal(keys[1], (b, t, h, s))
+    v = jax.random.normal(keys[2], (b, t, h, s))
+    cot = jax.random.normal(keys[3], (b, t, h, s))
+    scale = s**-0.5
+
+    def flatten(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, sp - s)))
+        return x.reshape(b, t, h * sp)
+
+    def unflatten(x):
+        return x.reshape(b, t, h, sp)[..., :s]
+
+    def loss_flat(q, k, v):
+        out = flash_attention_flat(
+            flatten(q), flatten(k), flatten(v), scale, h
+        )
+        return jnp.sum(unflatten(out) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_flat = flash_attention_flat(
+            flatten(q), flatten(k), flatten(v), scale, h
+        )
+        g_flat = jax.grad(loss_flat, argnums=(0, 1, 2))(q, k, v)
+    expected = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(unflatten(out_flat)), expected, rtol=2e-5, atol=2e-5
+    )
+    # zero pad lanes stay zero through the kernel
+    pad_lanes = np.asarray(out_flat).reshape(b, t, h, sp)[..., s:]
+    np.testing.assert_array_equal(pad_lanes, 0.0)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flat, g_ref):
+        np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_flat_xla_fallback_backward():
+    """The flat entry's non-pallas vjp (xla recompute) matches too."""
+    from ldm_tf2_tpu.ops import flash_attention as fa
+    from ldm_tf2_tpu.ops.flash_attention import flash_attention_flat
+
+    b, t, h, s = 1, 64, 2, 128  # s already lane-aligned
+    keys = jax.random.split(jax.random.PRNGKey(4), 4)
+    q = jax.random.normal(keys[0], (b, t, h * s))
+    k = jax.random.normal(keys[1], (b, t, h * s))
+    v = jax.random.normal(keys[2], (b, t, h * s))
+    cot = jax.random.normal(keys[3], (b, t, h * s))
+    scale = s**-0.5
+
+    def loss_flat(q, k, v):
+        return jnp.sum(flash_attention_flat(q, k, v, scale, h) * cot)
+
+    def loss_ref(q, k, v):
+        def split(x):
+            return x.reshape(b, t, h, s)
+
+        out = _xla_attention(split(q), split(k), split(v), scale)
+        return jnp.sum(out.reshape(b, t, h * s) * cot)
+
+    fa.set_flash_backward("xla")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            g_flat = jax.grad(loss_flat, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.set_flash_backward("pallas")
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flat, g_ref):
+        np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4)
+
+
 def test_unet_packed_path_matches_xla():
     """A UNet forward via the packed flash path == the XLA attention path
     (same params; packed engages on the spatial self-attention)."""

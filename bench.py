@@ -46,6 +46,12 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
         from ldm_tf2_tpu.ops.fused_conv import set_fused_conv_impl
 
         set_fused_conv_impl(os.environ["LDM_BENCH_FUSED_CONV"])
+    # LDM_BENCH_PACKED_CROSS=0 disables the fused short-kv cross-attention
+    # kernel (ops/cross_attention.py) for A/B.
+    if os.environ.get("LDM_BENCH_PACKED_CROSS") == "0":
+        from ldm_tf2_tpu.ops.attention import set_packed_cross
+
+        set_packed_cross(False)
 
     dtype = jnp.bfloat16
     unet = UNet(dtype=dtype)
@@ -154,9 +160,12 @@ def main():
     # `python bench.py highres` runs BASELINE config #5 (512^2, 64x64
     # latents, 200 DDIM steps, eta irrelevant for throughput).
     highres = len(sys.argv) > 1 and sys.argv[1] == "highres"
-    # batch 16 is the measured throughput peak on v5e (4: 4.57, 8: 5.31,
-    # 16: 5.59, 32: 5.27 img/s at 256^2).
-    batch = int(os.environ.get("LDM_BENCH_BATCH", "16"))
+    # batch 24 is the measured throughput peak on v5e with the current
+    # kernels (2026-08-18 sweep: 16: 6.73, 24: 6.76, 32: 6.63 img/s at
+    # 256^2; the round-1 sweep peaked at 16 with the older kernels).
+    # 512^2 stays at 16: the 24-wide (48 CFG) 64x64-latent program
+    # crashed the TPU worker (activation memory).
+    batch = int(os.environ.get("LDM_BENCH_BATCH", "16" if highres else "24"))
     if highres:
         pipeline, params, token_ids = build_pipeline(
             batch=batch, latent=64, steps=200

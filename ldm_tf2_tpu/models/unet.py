@@ -177,16 +177,27 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, query, context=None, *, training: bool = False):
         # Self-attention over long spatial token sequences takes the packed
-        # flash path: the projections emit the kernel's flat [B,T,H*Sp]
-        # layout directly (pad folded into the weights; heads minor-axis
-        # blocked), so q/k/v/out projections are plain matmuls with zero
-        # activation relayout on either side.
-        from ldm_tf2_tpu.ops.attention import use_packed_flash
-
-        packed = context is None and use_packed_flash(
-            query.shape[1], query.shape[1], self.num_heads
+        # flash path; cross-attention against the short (77-token) text
+        # context takes the packed single-block kernel
+        # (ops/cross_attention.py).  Either way the projections emit the
+        # kernel's flat [B,T,H*Sp] layout directly (pad folded into the
+        # weights; heads minor-axis blocked), so q/k/v/out projections are
+        # plain matmuls with zero activation relayout on either side.
+        from ldm_tf2_tpu.ops.attention import (
+            use_packed_cross,
+            use_packed_flash,
         )
+
+        is_self = context is None
         context = query if context is None else context
+        if is_self:
+            packed = use_packed_flash(
+                query.shape[1], query.shape[1], self.num_heads
+            )
+        else:
+            packed = use_packed_cross(
+                query.shape[1], context.shape[1], self.num_heads
+            )
         q = Projection(
             self.num_heads,
             self.size_per_head,
@@ -211,12 +222,20 @@ class CrossAttention(nn.Module):
             dtype=self.dtype,
             name="value",
         )(context, packed=packed)
-        if packed:
+        if packed and is_self:
             from ldm_tf2_tpu.ops.flash_attention import (
                 flash_attention_flat,
             )
 
             out = flash_attention_flat(
+                q, k, v, self.size_per_head**-0.5, self.num_heads
+            )
+        elif packed:
+            from ldm_tf2_tpu.ops.cross_attention import (
+                cross_attention_flat,
+            )
+
+            out = cross_attention_flat(
                 q, k, v, self.size_per_head**-0.5, self.num_heads
             )
         else:

@@ -128,6 +128,20 @@ def _use_sequence_parallel(q, k) -> bool:
 
 
 _PACKED_ENABLED = True
+# Default OFF — measured pipeline-level negative (bench.py A/B 2026-08-18,
+# v5e, 256^2 b24: 6.39 img/s with the kernel vs 6.78 without).  The
+# single-block kernel wins the logits round-trip but pays 3.2x lane-padded
+# q/o HBM traffic (head dim 40 -> 128 lanes) plus strided head-column DMA,
+# a net loss at every measured shape (tools/ab_cross_attention.py).
+# Kept as an opt-in: at head dims near the 128-lane tile the padding
+# penalty vanishes and the kernel's fusion is strictly better.
+_PACKED_CROSS_ENABLED = False
+
+# Below this q length the single-block cross kernel's grid overhead beats
+# its HBM savings (XLA's unfused path on a [B,H,64,77] logits tensor is
+# tiny); at/above it the kernel avoids the f32 logits round-trips that the
+# whole-program XLA compilation emits (see ops/cross_attention.py).
+_CROSS_MIN_Q = 256
 
 
 def set_packed_flash(flag: bool) -> None:
@@ -135,6 +149,31 @@ def set_packed_flash(flag: bool) -> None:
     generic [B,T,H,S] dispatch when disabled)."""
     global _PACKED_ENABLED
     _PACKED_ENABLED = bool(flag)
+
+
+def set_packed_cross(flag: bool) -> None:
+    """A/B switch for the fused short-kv cross-attention kernel."""
+    global _PACKED_CROSS_ENABLED
+    _PACKED_CROSS_ENABLED = bool(flag)
+
+
+def use_packed_cross(q_len: int, kv_len: int, num_heads: int) -> bool:
+    """True when the single-block fused attention kernel
+    (`ops.cross_attention.cross_attention_flat`, fed by packed=True
+    projections) is the active dispatch for this shape: a short kv
+    sequence (the 77-token text context) attended from a long-enough q
+    sequence, on TPU, with sequence-parallel attention not claiming it."""
+    if not (_PACKED_ENABLED and _PACKED_CROSS_ENABLED):
+        return False
+    if _ATTENTION_IMPL == "xla":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if _sp_claims(q_len, kv_len, num_heads):
+        return False
+    from ldm_tf2_tpu.ops.cross_attention import MAX_KV_PAD
+
+    return kv_len <= MAX_KV_PAD // 4 and q_len >= _CROSS_MIN_Q
 
 
 def use_packed_flash(q_len: int, kv_len: int, num_heads: int) -> bool:

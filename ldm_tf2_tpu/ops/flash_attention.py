@@ -47,7 +47,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_blocks(sp: int) -> tuple[int, int]:
+def _pick_blocks(sp: int, kv_len: int = 0) -> tuple[int, int]:
     """Largest (block_q, block_k) whose VMEM working set fits.
 
     Block-size sweep on v5e (tools/bench_flash.py): 1024/1024 is ~30-35%
@@ -57,10 +57,21 @@ def _pick_blocks(sp: int) -> tuple[int, int]:
     1024/512 is the measured best that fits.  Working-set model:
     (block_q + 2*block_k) * sp * 8 bytes [f32 q+acc, f32 k+v, double
     buffering] against a ~9 MiB budget.
+
+    Round-2 flat-layout re-sweep (tools/sweep_flash_fwd.py, profiler
+    timer, v5e): at the 512^2-L0 shape (b32 t4096 sp128) (1024, 2048)
+    beats (1024, 1024) 14.68 vs 15.07 ms (−2.6%: halving the q-stream
+    KV re-reads still wins at these lengths); (1024, 4096) and (2048, *)
+    fail to compile.  At t=1024 (256^2 L0, CFG b48) (1024, 1024) remains
+    best (1.538 ms; k512 3.11, q512 1.78).  So bk=2048 is claimed only
+    when the kv stream is long enough to amortize it.
     """
     budget = 9 * 1024 * 1024
-    for bq, bk in ((1024, 1024), (1024, 512), (512, 512), (512, 256),
-                   (256, 256), (256, 128), (128, 128)):
+    blocks = ((1024, 1024), (1024, 512), (512, 512), (512, 256),
+              (256, 256), (256, 128), (128, 128))
+    if kv_len >= 2048:
+        blocks = ((1024, 2048),) + blocks
+    for bq, bk in blocks:
         if (bq + 2 * bk) * sp * 8 <= budget:
             return bq, bk
     return 128, 128
@@ -153,7 +164,7 @@ def _forward_packed(qt, kt, vt, scale, block_q=None, block_k=None,
     bh, q_len, sp = qt.shape
     kv_len = kt.shape[1]
     if block_q is None or block_k is None:
-        auto_q, auto_k = _pick_blocks(sp)
+        auto_q, auto_k = _pick_blocks(sp, kv_len)
         block_q = block_q or min(auto_q, _round_up(q_len, 8))
         block_k = block_k or min(auto_k, _round_up(kv_len, _LANE))
     q_pad = _round_up(q_len, block_q)
@@ -612,7 +623,7 @@ def _forward_flat(qf, kf, vf, scale, h, block_q=None, block_k=None,
     kv_len = kf.shape[1]
     sp = hsp // h
     if block_q is None or block_k is None:
-        auto_q, auto_k = _pick_blocks(sp)
+        auto_q, auto_k = _pick_blocks(sp, kv_len)
         block_q = block_q or min(auto_q, _round_up(q_len, 8))
         block_k = block_k or min(auto_k, _round_up(kv_len, _LANE))
     q_pad = _round_up(q_len, block_q)

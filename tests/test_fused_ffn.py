@@ -47,6 +47,22 @@ def test_erf_approximation_accuracy():
     assert np.max(np.abs(got - want)) < 1e-6
 
 
+def test_gelu_poly_accuracy():
+    """The kernel's polynomial gelu: <=2.4e-5 abs inside the fit range,
+    <=1.3e-4 at the |x|=4 clamp edge, exact far outside (h := |x|).
+    The contract is ABSOLUTE error below bf16 rounding of the FFN's O(1)
+    outputs — tiny |gelu| values (|x| > 4 tail) carry large RELATIVE
+    error by design; their contribution to the w2 dot is ~1e-5 absolute."""
+    x = jnp.linspace(-12.0, 12.0, 48001, dtype=jnp.float32)
+    got = np.asarray(ff._gelu_poly_f32(x))
+    want = np.asarray(jax.nn.gelu(x, approximate=False))
+    assert np.max(np.abs(got - want)) < 1.5e-4
+    inner = np.abs(x) <= 3.9
+    assert np.max(np.abs(got[inner] - want[inner])) < 3e-5
+    far = np.abs(x) >= 8.0
+    assert np.max(np.abs(got[far] - want[far])) < 1e-6
+
+
 def test_gradients_match_xla_reference():
     args = _make(jax.random.PRNGKey(1), 1, 256, 128, dtype=jnp.float32)
 

@@ -101,6 +101,14 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
     # trade-off, ldm_sampling.cache_interval).
     cache_interval = int(os.environ.get("LDM_BENCH_DEEPCACHE", "1"))
 
+    # LDM_BENCH_INT8=1: W8A8 int8 U-Net ResBlock convs (tpu.quantize: int8,
+    # ops/quant_conv.py) — opt-in serving mode, ~2x MXU rate on the conv
+    # bucket; the default/headline path stays bf16 (exact parity).
+    if os.environ.get("LDM_BENCH_INT8", "0") == "1":
+        from ldm_tf2_tpu.ops.quant_conv import set_conv_quant
+
+        set_conv_quant("int8")
+
     def pipeline(params, token_ids, key):
         unet_p, cond_p, ae_p = params
         context = cond.apply({"params": cond_p}, token_ids)

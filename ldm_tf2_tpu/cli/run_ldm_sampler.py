@@ -275,6 +275,12 @@ def main(_):
     # consistently since both are multiples of B).
     params = (cond_params, unet_params, ae_params)
     mesh = create_mesh(config["tpu"]["mesh"])
+    if config["tpu"]["quantize"] == "int8":
+        from ldm_tf2_tpu.ops.quant_conv import set_conv_quant
+
+        print("[INFO] W8A8 int8 U-Net convs (tpu.quantize: int8; "
+              "per-example activation scales, per-channel weight scales).")
+        set_conv_quant("int8")
     if config["tpu"]["sequence_parallel"]:
         from ldm_tf2_tpu.ops.attention import enable_sequence_parallel
 

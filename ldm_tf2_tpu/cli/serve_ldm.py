@@ -96,6 +96,13 @@ def build_server(config):
     cache_interval = int(sampling.get("cache_interval", 1))
     cache_levels = int(sampling.get("cache_levels", 1))
 
+    if config["tpu"]["quantize"] == "int8":
+        from ldm_tf2_tpu.ops.quant_conv import set_conv_quant
+
+        print("[serve] W8A8 int8 U-Net convs (tpu.quantize: int8)",
+              file=sys.stderr)
+        set_conv_quant("int8")
+
     def pipeline(params, token_ids, key, guidance_scale):
         cond_p, unet_p, ae_p = params
         context = cond_model.apply({"params": cond_p}, token_ids)

@@ -56,6 +56,11 @@ _TPU_DEFAULTS: dict[str, Any] = {
     "encode_chunks": 1,
     "persist_per_iterations": None,
     "log_per_iterations": 100,
+    # W8A8 int8 U-Net ResBlock convs during sampling (ops/quant_conv.py):
+    # ~2x MXU rate on the conv bucket; per-example dynamic activation
+    # scales + per-channel weight scales. Opt-in serving mode — output
+    # differs from bf16 by quantization noise ("none" is the exact path).
+    "quantize": "none",
 }
 
 
@@ -134,6 +139,10 @@ def load_config(path: str) -> dict:
         raise ValueError(
             "tpu.sequence_parallel requires a 'model' axis of size > 1 "
             f"in tpu.mesh, got {tpu['mesh']}"
+        )
+    if tpu["quantize"] not in ("none", "int8"):
+        raise ValueError(
+            f"tpu.quantize must be 'none' or 'int8', got {tpu['quantize']!r}"
         )
     config["tpu"] = tpu
     return config

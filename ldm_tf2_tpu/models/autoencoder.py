@@ -64,9 +64,12 @@ class ResidualBlock(nn.Module):
             t = nn.Dense(self.channels, dtype=self.dtype, name="dense_time")(
                 nn.swish(time)
             )
+        # quant_ok=False: the AE runs once per batch and its decoder path
+        # produces the final pixel map — int8 sampling quantizes only the
+        # U-Net ResBlocks (ops/quant_conv.py).
         h = gn_silu_conv3x3(
             x, g1_scale, g1_bias, k1, b1, time_add=t,
-            num_groups=32, eps=GROUP_NORM_EPS,
+            num_groups=32, eps=GROUP_NORM_EPS, quant_ok=False,
         )
 
         g2_scale, g2_bias = GNParams(self.channels, name="group_norm2")()
@@ -89,7 +92,7 @@ class ResidualBlock(nn.Module):
             return shortcut + h
         return gn_silu_conv3x3(
             h, g2_scale, g2_bias, k2, b2, residual_add=shortcut,
-            num_groups=32, eps=GROUP_NORM_EPS,
+            num_groups=32, eps=GROUP_NORM_EPS, quant_ok=False,
         )
 
 

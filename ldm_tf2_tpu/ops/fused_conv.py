@@ -458,7 +458,7 @@ class Conv3x3Params(nn.Module):
 
 def gn_silu_conv3x3(
     x, gamma, beta, w, b, *, time_add=None, residual_add=None,
-    num_groups: int = 32, eps: float = 1e-5,
+    num_groups: int = 32, eps: float = 1e-5, quant_ok: bool = True,
 ):
     """GroupNorm -> SiLU -> 3x3 SAME conv (+bias, +optional epilogues).
 
@@ -485,7 +485,21 @@ def gn_silu_conv3x3(
       w: [3, 3, Cin, Cout] HWIO conv kernel; b: [Cout].
       time_add: optional [B, Cout] broadcast add (ResBlock conv1 + t).
       residual_add: optional [B, H, W, Cout] add (ResBlock conv2 + skip).
+      quant_ok: whether this call site may take the W8A8 int8 path when
+        `ops.quant_conv.set_conv_quant("int8")` is active (the U-Net
+        ResBlocks opt in; the AE decoder passes False — its output is the
+        final pixel map).  Sampling-only: int8 has no backward.
     """
+    from ldm_tf2_tpu.ops.quant_conv import (
+        gn_silu_conv3x3_int8,
+        use_int8_conv,
+    )
+
+    if quant_ok and use_int8_conv(x.shape, num_groups):
+        return gn_silu_conv3x3_int8(
+            x, gamma, beta, w, b, time_add=time_add,
+            residual_add=residual_add, num_groups=num_groups, eps=eps,
+        )
     if _IMPL == "pallas" and use_gn_silu_conv(
         x.shape, w.shape[-1], num_groups,
         has_t=time_add is not None, has_add=residual_add is not None,

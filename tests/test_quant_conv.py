@@ -1,0 +1,175 @@
+"""W8A8 int8 conv chain (ops/quant_conv.py): numerics, dispatch, model use.
+
+The Pallas quant kernel runs in interpret mode on the CPU test backend.
+Reference chain for comparison is the model's exact bf16 path
+(ops.fused_conv._xla_ref)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldm_tf2_tpu.ops import fused_conv
+from ldm_tf2_tpu.ops.quant_conv import (
+    get_conv_quant,
+    gn_silu_conv3x3_int8,
+    gn_silu_quant,
+    quantize_weight,
+    set_conv_quant,
+    use_int8_conv,
+)
+
+
+@pytest.fixture
+def int8_mode():
+    set_conv_quant("int8")
+    yield
+    set_conv_quant("none")
+
+
+def _ref_gn_silu(x, gamma, beta, num_groups, eps):
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(x.shape) * gamma + beta
+    return y * jax.nn.sigmoid(y)
+
+
+def test_gn_silu_quant_dequantizes_to_reference(rng):
+    b, h, w, c = 3, 8, 8, 64
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    gamma = jnp.asarray(rng.randn(c), jnp.float32)
+    beta = jnp.asarray(rng.randn(c), jnp.float32)
+
+    y8, sa = gn_silu_quant(x, gamma, beta, num_groups=32, eps=1e-5)
+    assert y8.dtype == jnp.int8
+    assert sa.shape == (b,)
+
+    ref = _ref_gn_silu(x, gamma, beta, 32, 1e-5)
+    deq = y8.astype(jnp.float32) * sa[:, None, None, None]
+    # symmetric round-to-nearest: error bounded by half an lsb per example
+    err = jnp.max(jnp.abs(deq - ref), axis=(1, 2, 3))
+    assert np.all(np.asarray(err) <= np.asarray(sa) * 0.51 + 1e-6)
+    # scales actually are per-example amax/127
+    amax = jnp.max(jnp.abs(ref), axis=(1, 2, 3))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(amax) / 127.0,
+                               rtol=1e-5)
+
+
+def test_quantize_weight_roundtrip(rng):
+    w = jnp.asarray(rng.randn(3, 3, 32, 48), jnp.float32)
+    w8, ws = quantize_weight(w)
+    assert w8.dtype == jnp.int8
+    assert ws.shape == (48,)
+    err = jnp.max(jnp.abs(w8.astype(jnp.float32) * ws - w), axis=(0, 1, 2))
+    assert np.all(np.asarray(err) <= np.asarray(ws) * 0.51)
+    # every output channel uses its full s8 range
+    assert np.all(np.asarray(jnp.max(jnp.abs(w8), axis=(0, 1, 2))) == 127)
+
+
+def test_int8_chain_close_to_bf16_chain(rng):
+    b, h, w, cin, cout = 2, 8, 8, 64, 32
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.randn(cin), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.randn(cin), jnp.float32)
+    wk = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    bias = jnp.asarray(0.1 * rng.randn(cout), jnp.float32)
+    t = jnp.asarray(rng.randn(b, cout), jnp.float32)
+
+    ref = fused_conv._xla_ref(x, gamma, beta, wk, bias, t, None, 32, 1e-5)
+    out = gn_silu_conv3x3_int8(
+        x, gamma, beta, wk, bias, time_add=t, num_groups=32, eps=1e-5
+    )
+    assert out.shape == ref.shape
+    r = np.asarray(ref, np.float64).ravel()
+    o = np.asarray(out, np.float64).ravel()
+    cos = np.dot(r, o) / (np.linalg.norm(r) * np.linalg.norm(o))
+    assert cos > 0.999
+    # quantization noise stays small relative to the activation scale
+    assert np.max(np.abs(r - o)) < 0.05 * np.max(np.abs(r))
+
+
+def test_residual_add_epilogue(rng):
+    b, h, w, c = 2, 8, 8, 64
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    gamma = jnp.ones((c,), jnp.float32)
+    beta = jnp.zeros((c,), jnp.float32)
+    wk = jnp.asarray(rng.randn(3, 3, c, c) * 0.1, jnp.float32)
+    bias = jnp.zeros((c,), jnp.float32)
+    res = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+
+    base = gn_silu_conv3x3_int8(x, gamma, beta, wk, bias, num_groups=32)
+    with_res = gn_silu_conv3x3_int8(
+        x, gamma, beta, wk, bias, residual_add=res, num_groups=32
+    )
+    np.testing.assert_allclose(
+        np.asarray(with_res), np.asarray(base + res), atol=1e-5
+    )
+
+
+def test_gate_and_dispatch(rng, int8_mode):
+    assert get_conv_quant() == "int8"
+    # gate: claims a 256^2-class shape, declines VMEM-breaking and
+    # non-group-divisible ones
+    assert use_int8_conv((48, 32, 32, 640))
+    assert use_int8_conv((48, 16, 16, 1280))
+    assert not use_int8_conv((32, 64, 64, 2560))  # 512^2 decoder concat
+    assert not use_int8_conv((2, 8, 8, 60))       # 60 % 32 != 0
+
+    b, h, w, c = 2, 8, 8, 64
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    gamma = jnp.ones((c,), jnp.float32)
+    beta = jnp.zeros((c,), jnp.float32)
+    wk = jnp.asarray(rng.randn(3, 3, c, c) * 0.1, jnp.float32)
+    bias = jnp.zeros((c,), jnp.float32)
+
+    routed = fused_conv.gn_silu_conv3x3(x, gamma, beta, wk, bias)
+    direct = gn_silu_conv3x3_int8(x, gamma, beta, wk, bias)
+    np.testing.assert_array_equal(np.asarray(routed), np.asarray(direct))
+
+    # quant_ok=False (the AE call sites) stays on the bf16 path
+    opted_out = fused_conv.gn_silu_conv3x3(
+        x, gamma, beta, wk, bias, quant_ok=False
+    )
+    ref = fused_conv._xla_ref(x, gamma, beta, wk, bias, None, None, 32, 1e-5)
+    np.testing.assert_array_equal(np.asarray(opted_out), np.asarray(ref))
+
+    set_conv_quant("none")
+    off = fused_conv.gn_silu_conv3x3(x, gamma, beta, wk, bias)
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(ref))
+
+
+def test_invalid_mode_rejected():
+    with pytest.raises(ValueError):
+        set_conv_quant("int4")
+
+
+def test_unet_forward_with_int8(rng, int8_mode):
+    """Small UNet forward: int8 sampling path runs and stays close to
+    the bf16 result."""
+    from ldm_tf2_tpu.models.unet import UNet
+
+    model = UNet(
+        model_channels=64,
+        out_channels=4,
+        num_blocks=1,
+        channel_mult=(1, 2),
+        num_heads=2,
+        context_channels=48,
+    )
+    x = jnp.asarray(rng.randn(2, 16, 16, 4), jnp.float32)
+    tt = jnp.asarray([3.0, 7.0], jnp.float32)
+    ctx = jnp.asarray(rng.randn(2, 7, 48), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, tt, ctx)
+
+    out8 = model.apply(params, x, tt, ctx)
+    set_conv_quant("none")
+    ref = model.apply(params, x, tt, ctx)
+
+    r = np.asarray(ref, np.float64).ravel()
+    o = np.asarray(out8, np.float64).ravel()
+    cos = np.dot(r, o) / (np.linalg.norm(r) * np.linalg.norm(o))
+    assert cos > 0.99
+    assert not np.array_equal(r, o)  # int8 actually engaged

@@ -323,6 +323,33 @@ def test_sampler_cli(workspace):
     assert images.dtype == np.uint8
 
 
+def test_sampler_cli_int8(workspace):
+    """tpu.quantize: int8 — the W8A8 U-Net conv path (ops/quant_conv.py)
+    through the real sampler CLI; output stays a valid image batch."""
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+    from ldm_tf2_tpu.ops.quant_conv import get_conv_quant, set_conv_quant
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["tpu"]["quantize"] = "int8"
+    int8_path = str(root / "config_int8.yaml")
+    with open(int8_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    try:
+        _run_cli(
+            run_ldm_sampler,
+            ["run_ldm_sampler", f"--config_path={int8_path}"],
+        )
+        assert get_conv_quant() == "int8"
+    finally:
+        set_conv_quant("none")
+    images = np.load(root / "images.npy")
+    assert images.shape == (2, IMG, IMG, 3)
+    assert images.dtype == np.uint8
+
+
 def test_sampler_cli_progressive(workspace):
     from ldm_tf2_tpu.cli import run_ldm_sampler
 

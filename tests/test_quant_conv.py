@@ -111,12 +111,13 @@ def test_residual_add_epilogue(rng):
 
 def test_gate_and_dispatch(rng, int8_mode):
     assert get_conv_quant() == "int8"
-    # gate: claims a 256^2-class shape, declines VMEM-breaking and
-    # non-group-divisible ones
+    # gate: one-pass kernel claims 256^2-class shapes; VMEM-breaking
+    # 512^2 shapes claim via the streaming kernel; non-group-divisible
+    # channels decline
     assert use_int8_conv((48, 32, 32, 640))
     assert use_int8_conv((48, 16, 16, 1280))
-    assert not use_int8_conv((32, 64, 64, 2560))  # 512^2 decoder concat
-    assert not use_int8_conv((2, 8, 8, 60))       # 60 % 32 != 0
+    assert use_int8_conv((32, 64, 64, 2560))  # 512^2 decoder concat
+    assert not use_int8_conv((2, 8, 8, 60))   # 60 % 32 != 0
 
     b, h, w, c = 2, 8, 8, 64
     x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
@@ -139,6 +140,89 @@ def test_gate_and_dispatch(rng, int8_mode):
     set_conv_quant("none")
     off = fused_conv.gn_silu_conv3x3(x, gamma, beta, wk, bias)
     np.testing.assert_array_equal(np.asarray(off), np.asarray(ref))
+
+
+def test_streaming_kernel_matches_one_pass(rng):
+    """The 3-phase streaming kernel (big-shape path) agrees with the
+    one-pass kernel: identical scales (up to f32 accumulation order) and
+    dequantized values within one quantization lsb."""
+    from ldm_tf2_tpu.ops.quant_conv import _gn_silu_quant_stream
+
+    b, h, w, c = 2, 16, 16, 64
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+
+    y8, sa = gn_silu_quant(x, gamma, beta, num_groups=32, eps=1e-5)
+    y8s, sas = _gn_silu_quant_stream(x, gamma, beta, 32, 1e-5, hb=128)
+
+    np.testing.assert_allclose(np.asarray(sas), np.asarray(sa), rtol=1e-5)
+    deq = np.asarray(y8, np.float32) * np.asarray(sa)[:, None, None, None]
+    deqs = np.asarray(y8s, np.float32) * np.asarray(sas)[:, None, None, None]
+    assert np.max(np.abs(deq - deqs)) <= float(np.max(sa)) * 1.01
+
+
+def test_fused_chain_matches_two_stage(rng):
+    """The whole-chain Pallas kernel computes the same quantized math as
+    the 2-stage composition (identical scales and rounding; only f32
+    epilogue ordering differs)."""
+    from ldm_tf2_tpu.ops.quant_conv import gn_silu_conv3x3_int8_fused
+
+    b, h, w, cin, cout = 2, 8, 8, 64, 64
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.randn(cin), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.randn(cin), jnp.float32)
+    wk = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    bias = jnp.asarray(0.1 * rng.randn(cout), jnp.float32)
+    t = jnp.asarray(rng.randn(b, cout), jnp.float32)
+    res = jnp.asarray(rng.randn(b, h, w, cout), jnp.float32)
+
+    for kwargs in ({"time_add": t}, {"residual_add": res}, {}):
+        a = gn_silu_conv3x3_int8(x, gamma, beta, wk, bias, **kwargs)
+        f = gn_silu_conv3x3_int8_fused(x, gamma, beta, wk, bias, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(f), atol=2e-5
+        )
+
+
+def test_batched_conv_matches_emitter(rng):
+    """The batched small-hw s8 conv kernel (images stacked in one
+    [B*HW, C] operand, inter-image taps masked) produces exactly the
+    emitter's s8 conv + dequant result — integer accumulation, so any
+    masking bug is a hard mismatch, not a tolerance blur."""
+    from ldm_tf2_tpu.ops.quant_conv import (
+        _batched_pick_blk,
+        _s8_conv3x3_batched,
+        quantize_weight,
+    )
+
+    for h in (4, 8):
+        b, c, cout = 3, 64, 64
+        y8 = jnp.asarray(
+            rng.randint(-127, 128, (b, h, h, c)), jnp.int8
+        )
+        sa = jnp.asarray(np.abs(rng.randn(b)) * 0.01 + 0.01, jnp.float32)
+        wk = jnp.asarray(rng.randn(3, 3, c, cout) * 0.1, jnp.float32)
+        bias = jnp.asarray(0.1 * rng.randn(cout), jnp.float32)
+        t = jnp.asarray(rng.randn(b, cout), jnp.float32)
+        w8, ws = quantize_weight(wk)
+
+        acc = jax.lax.conv_general_dilated(
+            y8, w8, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        ref = acc.astype(jnp.float32) * (sa[:, None, None, None] * ws)
+        ref = ref + bias + t[:, None, None, :]
+
+        blk = _batched_pick_blk(b * h * h, c, cout, True, False)
+        assert blk is not None
+        out = _s8_conv3x3_batched(
+            y8, sa, w8, ws, bias, t, None, jnp.float32, blk
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
 
 
 def test_invalid_mode_rejected():

@@ -383,6 +383,11 @@ def use_int8_conv(shape, num_groups: int = 32,
     if c % num_groups != 0:
         return False
     hw = h * w
+    if hw < 64:
+        # 4x4-class chains are overhead/bandwidth-bound: bf16 ties or
+        # wins every int8 formulation tried (tools/ab_int8_chain.py v5:
+        # bf16 0.147/0.293 ms vs 2-stage 0.144/0.448)
+        return False
     return (
         _vmem_bytes(hw, c) <= _VMEM_BUDGET
         or _stream_block(hw, c) is not None
@@ -679,7 +684,7 @@ def _batched_conv_kernel(y8p_ref, rsa_ref, w8_ref, ws_ref, b_ref, t_ref,
     acc = jnp.zeros((n_rows, o_ref.shape[-1]), jnp.int32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            start = (w + 1) + dy * w + dx
+            start = _BATCH_PAD + dy * w + dx
             tap = y8p_ref[pl.ds(start, n_rows), :]
             mask = None
             if dy == -1:
@@ -690,13 +695,18 @@ def _batched_conv_kernel(y8p_ref, rsa_ref, w8_ref, ws_ref, b_ref, t_ref,
                 mask = left_edge if mask is None else mask | left_edge
             elif dx == 1:
                 mask = right_edge if mask is None else mask | right_edge
-            if mask is not None:
-                tap = jnp.where(mask, jnp.zeros_like(tap), tap)
-            acc += jax.lax.dot_general(
+            d = jax.lax.dot_general(
                 tap, w8_ref[dy + 1, dx + 1],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
+            if mask is not None:
+                # masking is per OUT row, so zero the dot result rather
+                # than the s8 operand: the [rows, blk] temp is ~10x
+                # smaller than a masked [rows, cin] tap copy (which blew
+                # VMEM at 8x8x1280)
+                d = jnp.where(mask, jnp.zeros_like(d), d)
+            acc += d
 
     out = acc.astype(jnp.float32) * (rsa_ref[:] * ws_ref[:]) + b_ref[:]
     if has_t:
@@ -706,10 +716,15 @@ def _batched_conv_kernel(y8p_ref, rsa_ref, w8_ref, ws_ref, b_ref, t_ref,
     o_ref[:, :] = out.astype(o_ref.dtype)
 
 
+# global zero-pad rows on each end of the stacked operand: >= w+1 for
+# tap reach and a multiple of 32 so every s8 tile boundary stays aligned
+_BATCH_PAD = 32
+
+
 def _batched_vmem_bytes(n_rows: int, cin: int, blk: int, n_blk: int,
                         has_t: bool, has_add: bool) -> int:
     pad = lambda c: (c + 127) // 128 * 128
-    y8p = (n_rows + 2 * 8) * pad(cin)                    # s8, single buffer
+    y8p = (n_rows + 2 * _BATCH_PAD) * pad(cin)           # s8, single buffer
     weights = 9 * pad(cin) * pad(blk) * (2 if n_blk > 1 else 1)
     accs = n_rows * pad(blk) * (4 + 2 * 2)               # s32 acc + out x2
     if has_t:
@@ -744,7 +759,7 @@ def _s8_conv3x3_batched(y8, sa, w8, ws, b, time_add, residual_add,
     n_blk = cout // blk
 
     y8f = y8.reshape(n_rows, cin)
-    y8p = jnp.pad(y8f, ((wd + 1, wd + 1), (0, 0)))
+    y8p = jnp.pad(y8f, ((_BATCH_PAD, _BATCH_PAD), (0, 0)))
     rsa = jnp.repeat(sa, hw)[:, None]                     # [n_rows, 1]
     t_rows = (
         jnp.repeat(time_add, hw, axis=0)
@@ -762,7 +777,7 @@ def _s8_conv3x3_batched(y8, sa, w8, ws, b, time_add, residual_add,
         ),
         grid=(n_blk,),
         in_specs=[
-            pl.BlockSpec((n_rows + 2 * (wd + 1), cin), lambda j: (0, 0),
+            pl.BlockSpec((n_rows + 2 * _BATCH_PAD, cin), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_rows, 1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -810,24 +825,16 @@ def gn_silu_conv3x3_int8_two_stage(
     num_groups: int = 32, eps: float = 1e-5,
 ):
     """2-stage W8A8 composition (fallback where the whole-chain kernel
-    declines): Pallas GN+SiLU+quantize -> s8 conv -> dequant.  The conv
-    is the batched Pallas kernel on small-hw levels where it fits VMEM
-    (kills the emitter's layout copies + unfused dequant), else the XLA
-    emitter."""
+    declines): Pallas GN+SiLU+quantize -> XLA s8 conv emitter -> dequant.
+
+    The batched small-hw Pallas conv (`_s8_conv3x3_batched`) is a
+    MEASURED NEGATIVE as a dispatch target and is kept opt-in only:
+    at 4x4 it ties the emitter (0.144 vs 0.147 ms) or loses on concats
+    (0.448 vs bf16's 0.293), and at 8x8x1280 — the one shape with a
+    real prize — Mosaic crashes on the misaligned 3072-row s8 tap
+    slices (tools/ab_int8_chain.py v5).  The emitter 2-stage wins at
+    8x8 (0.501 vs bf16 0.561)."""
     y8, sa = gn_silu_quant(x, gamma, beta, num_groups, eps)
-    bsz, h, wd, cin = x.shape
-    cout = w.shape[-1]
-    hw = h * wd
-    if hw < 256:
-        blk = _batched_pick_blk(
-            bsz * hw, cin, cout, time_add is not None,
-            residual_add is not None,
-        )
-        if blk is not None:
-            w8, ws = quantize_weight(w)
-            return _s8_conv3x3_batched(
-                y8, sa, w8, ws, b, time_add, residual_add, x.dtype, blk,
-            )
     w8, ws = quantize_weight(w)
     acc = jax.lax.conv_general_dilated(
         y8, w8, (1, 1), "SAME",

@@ -39,6 +39,38 @@ def test_kernel_matches_xla(b, t, d):
     assert err <= 0.08 * max(scale, 1.0), (err, scale)
 
 
+@pytest.mark.parametrize("b,t,d", [(2, 256, 320), (1, 512, 128)])
+def test_int8_kernel_close_to_xla(b, t, d):
+    """W8A8 FFN kernel (per-row act scales, per-col weight scales): same
+    math as the bf16 kernel up to quantization noise."""
+    args = _make(jax.random.PRNGKey(1), b, t, d)
+    ref = ff._xla_ffn(*args, 1e-5)
+    out = ff._pallas_ffn_int8(*args, 1e-5)
+    r = np.asarray(ref, np.float64).ravel()
+    o = np.asarray(out, np.float64).ravel()
+    cos = np.dot(r, o) / (np.linalg.norm(r) * np.linalg.norm(o))
+    assert cos > 0.999, cos
+    assert np.max(np.abs(r - o)) < 0.05 * max(np.max(np.abs(r)), 1.0)
+
+
+def test_int8_ffn_not_dispatched():
+    """The int8 FFN kernel is a measured NEGATIVE (d=320 class is
+    VPU/lane-pad-bound — 1.030 vs 1.011 ms on v5e) and must stay out of
+    dispatch even with the global quant switch on."""
+    from ldm_tf2_tpu.ops.quant_conv import set_conv_quant
+
+    args = _make(jax.random.PRNGKey(2), 1, 512, 128)
+    try:
+        set_conv_quant("int8")
+        ff.set_fused_ffn_impl("pallas")
+        routed = ff.fused_ffn(*args)
+        bf16 = ff._pallas_ffn(*args, 1e-5)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(bf16))
+    finally:
+        set_conv_quant("none")
+        ff.set_fused_ffn_impl("auto")
+
+
 def test_erf_approximation_accuracy():
     x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
     got = np.asarray(ff._erf_f32(x))

@@ -495,7 +495,10 @@ def gn_silu_conv3x3(
         use_int8_conv,
     )
 
-    if quant_ok and use_int8_conv(x.shape, num_groups):
+    if quant_ok and use_int8_conv(
+        x.shape, w.shape[-1], num_groups,
+        has_add=residual_add is not None,
+    ):
         return gn_silu_conv3x3_int8(
             x, gamma, beta, w, b, time_add=time_add,
             residual_add=residual_add, num_groups=num_groups, eps=eps,

@@ -372,26 +372,37 @@ def _vmem_bytes(hw: int, c: int) -> int:
 _VMEM_BUDGET = int(12.5 * 1024 * 1024)
 
 
-def use_int8_conv(shape, num_groups: int = 32,
+def use_int8_conv(shape, cout: int | None = None, num_groups: int = 32,
+                  has_add: bool = False,
                   on_tpu: bool | None = None) -> bool:
-    """Shape gate: quant mode on, channels group-divisible, and either
-    the one-pass quant kernel fits VMEM or the streaming variant has a
-    suitable hw block (covers the 512^2-class shapes)."""
+    """Shape gate: quant mode on, channels group-divisible, and the
+    shape belongs to a measured-win class:
+
+      * hw == 64 (8x8): the 2-stage emitter composition, exercised
+        end-to-end by the good 256^2 pipeline (0.501 vs bf16 0.561 ms);
+      * hw >= 256 where the whole-chain Pallas kernel claims.
+
+    Everything else stays bf16.  In particular the 64x64 (512^2 L0)
+    classes are EXCLUDED even though isolated A/Bs showed the streaming
+    2-stage winning ~10% there: the s8 conv emitter inherits the bf16
+    emitter's nondeterministic ~4 TF/s compile lottery (ops/
+    fused_conv.py), and the first 512^2 int8 pipeline ran >6x slower
+    than bf16 — a catastrophic tail not worth the modest win.  Pallas
+    chains are deterministic; the emitter is only trusted where a full
+    pipeline measurement has covered it."""
     if _QUANT != "int8":
         return False
     b, h, w, c = shape
     if c % num_groups != 0:
         return False
     hw = h * w
-    if hw < 64:
-        # 4x4-class chains are overhead/bandwidth-bound: bf16 ties or
-        # wins every int8 formulation tried (tools/ab_int8_chain.py v5:
-        # bf16 0.147/0.293 ms vs 2-stage 0.144/0.448)
+    if hw == 64:
+        # 8x8-class: 2-stage needs a quant-kernel fit (always true at
+        # these sizes) — 4x4 (hw=16) stays bf16 (measured tie/loss)
+        return _vmem_bytes(hw, c) <= _VMEM_BUDGET
+    if cout is None:
         return False
-    return (
-        _vmem_bytes(hw, c) <= _VMEM_BUDGET
-        or _stream_block(hw, c) is not None
-    )
+    return use_fused_int8_chain(hw, w, c, cout, has_add)
 
 
 def _chain_kernel(x_ref, gamma_ref, beta_ref, w8_ref, ws_ref, b_ref,
@@ -512,17 +523,30 @@ def _chain_kernel(x_ref, gamma_ref, beta_ref, w8_ref, ws_ref, b_ref,
 
 def _chain_vmem_bytes(hw: int, w: int, cin: int, blk: int, n_blk: int,
                       rc: int, has_add: bool) -> int:
-    """Worst-case VMEM of one chain-kernel grid step (double buffering on
-    grid-mapped blocks; the s8 slab is persistent scratch; fill-phase f32
-    temps are row-chunked to ``rc`` rows)."""
+    """Worst-case VMEM of one chain-kernel grid step.
+
+    Calibrated against the compiler's scoped-vmem accounting (512^2
+    bisect): the fill's three passes reuse identical expressions, so
+    Mosaic CSEs BOTH the f32 conversion of x and the normalized y across
+    passes — two full-hw f32 arrays live regardless of the row-chunk
+    size; only the SiLU/product temporaries shrink with ``rc``.  With
+    xs = hw*pc*12 + rc*pc*4 the [1024,960->640]+t failure estimates
+    18.2 MiB vs the compiler's reported 18.35 MiB scoped OOM, and every
+    measured-good shape estimates <= 15.3 MiB, against the 16 MiB scoped
+    limit — the 15.5 MiB budget splits them."""
     pad = lambda c: (c + 127) // 128 * 128
     slab = (hw + 2 * (w + 1)) * pad(cin)                 # s8 slab
-    xs = hw * pad(cin) * 2 * 2 + rc * pad(cin) * 8      # x bf16 x2 + chunk f32
+    # x bf16 x2 + full-hw f32 x (CSE) + full-hw f32 y (CSE)
+    xs = hw * pad(cin) * (2 * 2 + 4 + 4)
+    xs += rc * pad(cin) * 4                              # SiLU chunk temp
     weights = 9 * pad(cin) * pad(blk) * (2 if n_blk > 1 else 1)  # s8
     accs = hw * pad(blk) * (4 + 2 * 2)                   # s32 acc, out bf16 x2
     if has_add:
         accs += hw * pad(blk) * 2 * 2
     return slab + xs + weights + accs
+
+
+_CHAIN_VMEM_BUDGET = int(15.5 * 1024 * 1024)
 
 
 def use_fused_int8_chain(hw, w, cin, cout, has_add) -> bool:
@@ -541,11 +565,18 @@ def _chain_pick(hw, w, cin, cout, has_add):
         m * 128 for m in (8, 4, 2, 1)
         if m * 128 < cout and cout % (m * 128) == 0
     ]
-    rc_cands = [hw] + [r for r in (512, 256, 128) if r < hw and hw % r == 0]
+    # cap the fill unroll at 4 chunks: the 8-chunk fill at
+    # [32x32, 1280->640] crashed Mosaic (512^2 bisect); shapes needing
+    # deeper chunking decline to the 2-stage path, which beats bf16 on
+    # exactly those large-cin classes anyway
+    rc_cands = [hw] + [
+        r for r in (512, 256, 128)
+        if r < hw and hw % r == 0 and hw // r <= 4
+    ]
     for rc in rc_cands:
         for blk in blk_cands:
             if _chain_vmem_bytes(hw, w, cin, blk, cout // blk, rc,
-                                 has_add) <= _VMEM_BUDGET:
+                                 has_add) <= _CHAIN_VMEM_BUDGET:
                 return blk, rc
     return None
 

@@ -114,10 +114,14 @@ def test_gate_and_dispatch(rng, int8_mode):
     # gate: one-pass kernel claims 256^2-class shapes; VMEM-breaking
     # 512^2 shapes claim via the streaming kernel; non-group-divisible
     # channels decline
-    assert use_int8_conv((48, 32, 32, 640))
-    assert use_int8_conv((48, 16, 16, 1280))
-    assert use_int8_conv((32, 64, 64, 2560))  # 512^2 decoder concat
-    assert not use_int8_conv((2, 8, 8, 60))   # 60 % 32 != 0
+    # fused-chain classes claim; 8x8 claims (2-stage); 64x64 and 4x4
+    # decline (emitter-lottery tail / measured bf16 win)
+    assert use_int8_conv((48, 32, 32, 640), 320, has_add=True)
+    assert use_int8_conv((48, 16, 16, 1280), 1280)
+    assert use_int8_conv((48, 8, 8, 1280), 1280)
+    assert not use_int8_conv((32, 64, 64, 2560), 1280)
+    assert not use_int8_conv((48, 4, 4, 1280), 1280)
+    assert not use_int8_conv((2, 8, 8, 60), 60)   # 60 % 32 != 0
 
     b, h, w, c = 2, 8, 8, 64
     x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)

@@ -851,12 +851,56 @@ def _s8_conv3x3_batched(y8, sa, w8, ws, b, time_add, residual_add,
     return out.reshape(bsz, h, wd, cout)
 
 
+def _s8_conv3x3_dots(y8, w8):
+    """3x3 SAME s8 conv as 9 shifted s8 x s8 -> s32 dot_generals.
+
+    The integer twin of ``ops.fused_conv.conv3x3_dots``: bypasses XLA's
+    convolution emitter, which inherits the bf16 emitter's
+    nondeterministic ~4 TF/s compile lottery (ops/fused_conv.py finding
+    #1) — the suspected cause of the first 512^2 int8 pipeline running
+    >6x slower than bf16 (NEXT.md session 8).  dot_general s8xs8->s32
+    measures 380 TOP/s on v5e (tools/probe_int8.py) and has never drawn
+    a cliff.  Integer-exact vs the emitter (same taps, same s32
+    accumulation; zero-pad border matches SAME semantics)."""
+    bsz, h, wd, cin = y8.shape
+    cout = w8.shape[-1]
+    yp = jnp.pad(y8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = jax.lax.dynamic_slice(
+                yp, (0, dy, dx, 0), (bsz, h, wd, cin)
+            )
+            d = jax.lax.dot_general(
+                tap, w8[dy, dx],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = d if acc is None else acc + d
+    return acc
+
+
+# Stage-2 s8 conv impl for the 2-stage path: "emitter" (XLA conv, default
+# — the 256^2-measured classes all use it) | "dots" (9 shifted s8 dots,
+# deterministic compile, for emitter-lottery classes).
+_STAGE2 = "emitter"
+
+
+def set_int8_stage2(impl: str) -> None:
+    global _STAGE2
+    if impl not in ("emitter", "dots"):
+        raise ValueError(f"unknown int8 stage-2 impl: {impl!r}")
+    _STAGE2 = impl
+
+
 def gn_silu_conv3x3_int8_two_stage(
     x, gamma, beta, w, b, *, time_add=None, residual_add=None,
-    num_groups: int = 32, eps: float = 1e-5,
+    num_groups: int = 32, eps: float = 1e-5, stage2: str | None = None,
 ):
     """2-stage W8A8 composition (fallback where the whole-chain kernel
-    declines): Pallas GN+SiLU+quantize -> XLA s8 conv emitter -> dequant.
+    declines): Pallas GN+SiLU+quantize -> s8 3x3 SAME conv (XLA emitter,
+    or 9-shifted-dots via ``stage2="dots"`` / ``set_int8_stage2``) ->
+    dequant.
 
     The batched small-hw Pallas conv (`_s8_conv3x3_batched`) is a
     MEASURED NEGATIVE as a dispatch target and is kept opt-in only:
@@ -867,11 +911,14 @@ def gn_silu_conv3x3_int8_two_stage(
     8x8 (0.501 vs bf16 0.561)."""
     y8, sa = gn_silu_quant(x, gamma, beta, num_groups, eps)
     w8, ws = quantize_weight(w)
-    acc = jax.lax.conv_general_dilated(
-        y8, w8, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
+    if (stage2 or _STAGE2) == "dots":
+        acc = _s8_conv3x3_dots(y8, w8)
+    else:
+        acc = jax.lax.conv_general_dilated(
+            y8, w8, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
     out = acc.astype(jnp.float32) * (sa[:, None, None, None] * ws)
     out = out + b.astype(jnp.float32)
     if time_add is not None:

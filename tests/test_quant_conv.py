@@ -229,6 +229,51 @@ def test_batched_conv_matches_emitter(rng):
         )
 
 
+def test_s8_dots_conv_matches_emitter(rng):
+    """The 9-shifted-dots s8 conv (`_s8_conv3x3_dots`, the deterministic
+    stage-2 alternative to the emitter's compile lottery) is integer-exact
+    vs the emitter's s8 SAME conv on non-square and channel-odd shapes."""
+    from ldm_tf2_tpu.ops.quant_conv import _s8_conv3x3_dots, quantize_weight
+
+    for (b, h, w, c, cout) in ((2, 8, 8, 64, 32), (1, 5, 7, 96, 64)):
+        y8 = jnp.asarray(rng.randint(-127, 128, (b, h, w, c)), jnp.int8)
+        wk = jnp.asarray(rng.randn(3, 3, c, cout) * 0.1, jnp.float32)
+        w8, _ = quantize_weight(wk)
+        ref = jax.lax.conv_general_dilated(
+            y8, w8, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        out = _s8_conv3x3_dots(y8, w8)
+        assert out.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_two_stage_dots_impl_matches_emitter_impl(rng):
+    """`set_int8_stage2("dots")` produces the same 2-stage result as the
+    default emitter stage-2 (identical integer accumulation + epilogue)."""
+    from ldm_tf2_tpu.ops.quant_conv import (
+        gn_silu_conv3x3_int8_two_stage,
+        set_int8_stage2,
+    )
+
+    b, h, c, cout = 2, 8, 64, 64
+    x = jnp.asarray(rng.randn(b, h, h, c), jnp.float32)
+    gamma = jnp.asarray(1 + 0.1 * rng.randn(c), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    wk = jnp.asarray(rng.randn(3, 3, c, cout) * 0.1, jnp.float32)
+    bias = jnp.asarray(0.1 * rng.randn(cout), jnp.float32)
+    ref = gn_silu_conv3x3_int8_two_stage(x, gamma, beta, wk, bias)
+    set_int8_stage2("dots")
+    try:
+        out = gn_silu_conv3x3_int8_two_stage(x, gamma, beta, wk, bias)
+    finally:
+        set_int8_stage2("emitter")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_invalid_mode_rejected():
     with pytest.raises(ValueError):
         set_conv_quant("int4")

@@ -24,6 +24,7 @@ from ldm_tf2_tpu.ops.quant_conv import (
     _chain_pick,
     gn_silu_conv3x3_int8_fused,
     gn_silu_conv3x3_int8_two_stage,
+    set_int8_stage2,
 )
 
 SHAPES = [
@@ -38,14 +39,31 @@ SHAPES = [
     (48, 64, 64, 320, 320, "t"),   # 512^2-class L0 (CFG b32 -> use 32)
 ]
 
+# 512^2 CFG-b32 classes (`python tools/ab_int8_chain.py 512`): the L0
+# 64x64 rows are the emitter-lottery classes (use_int8_conv excludes
+# them; the 2s-dots column is the deterministic candidate), the
+# 16x16/8x8 concat rows are the fused/2-stage classes the restricted
+# policy already claims.
+SHAPES_512 = [
+    (32, 64, 64, 320, 320, "t"),
+    (32, 64, 64, 640, 320, "res"),
+    (32, 32, 32, 640, 640, "t"),
+    (32, 32, 32, 1280, 640, "res"),
+    (32, 16, 16, 1280, 1280, "t"),
+    (32, 16, 16, 2560, 1280, "res"),
+    (32, 16, 16, 1920, 1280, "res"),
+    (32, 8, 8, 2560, 1280, "res"),
+]
+
 
 def main():
     rng = np.random.RandomState(0)
     n = 8
-    print(f"{'shape':26} {'bf16':>8} {'2stage':>8} {'fused':>8} "
-          f"{'blk':>5}  (ms/call, device)")
-    for bsz, h, w, cin, cout, epi in SHAPES:
-        if h == 64:
+    shapes = SHAPES_512 if "512" in sys.argv[1:] else SHAPES
+    print(f"{'shape':26} {'bf16':>8} {'2stage':>8} {'2s-dots':>8} "
+          f"{'fused':>8} {'blk':>5}  (ms/call, device)")
+    for bsz, h, w, cin, cout, epi in shapes:
+        if h == 64 and shapes is SHAPES:
             bsz = 32
         x = jnp.asarray(rng.randn(bsz, h, w, cin), jnp.bfloat16)
         gamma = jnp.asarray(1 + 0.1 * rng.randn(cin), jnp.float32)
@@ -72,9 +90,19 @@ def main():
                 x, gamma, beta, wk, bias, time_add=t, residual_add=res,
             )
 
+        def chain_2stage_dots(x):
+            set_int8_stage2("dots")
+            try:
+                return gn_silu_conv3x3_int8_two_stage(
+                    x, gamma, beta, wk, bias, time_add=t, residual_add=res,
+                )
+            finally:
+                set_int8_stage2("emitter")
+
         picked = _chain_pick(h * w, w, cin, cout, res is not None)
         blk = f"{picked[0]}/{picked[1]}" if picked else None
-        cases = [("bf16", chain_bf16), ("2stage", chain_2stage)]
+        cases = [("bf16", chain_bf16), ("2stage", chain_2stage),
+                 ("2s-dots", chain_2stage_dots)]
         if picked is not None:
             cases.append(("fused", chain_fused))
         jitted = []

@@ -90,6 +90,7 @@ def main(_):
             sampling["text_prompt"],
             shape[0],
             config["cond_stage_model"]["max_seq_len"],
+            negative_prompt=sampling.get("negative_prompt", ""),
         )
     )
     guidance_scale = float(sampling["guidance_scale"])

@@ -9,7 +9,8 @@ the TPU-native "model server" loop.
 Protocol: one JSON object per line on stdin; one JSON response per line on
 stdout (logs go to stderr so stdout stays machine-readable).
 
-  request:  {"prompt": "a cat" | ["p1", ...], "seed": 0,
+  request:  {"prompt": "a cat" | ["p1", ...], "negative_prompt": "",
+             "seed": 0,
              "guidance_scale": 5.0, "out": "name"}
   response: {"ok": true, "out": "<dir>/name.npy", "latency_s": 1.23,
              "shape": [B, H, W, 3]}
@@ -136,9 +137,12 @@ def build_server(config):
         params = replicate(params, mesh)
     jitted = jax.jit(pipeline)
 
-    def run(prompt, seed, guidance_scale):
+    def run(prompt, seed, guidance_scale, negative_prompt=""):
         token_ids = jnp.asarray(
-            cfg_token_ids(tokenizer, prompt, shape[0], max_seq_len)
+            cfg_token_ids(
+                tokenizer, prompt, shape[0], max_seq_len,
+                negative_prompt=negative_prompt,
+            )
         )
         if data_parallel:
             token_ids = shard_batch(token_ids, mesh)
@@ -157,6 +161,9 @@ def build_server(config):
             prompt,
             req.get("seed", 0),
             req.get("guidance_scale", sampling["guidance_scale"]),
+            negative_prompt=req.get(
+                "negative_prompt", sampling.get("negative_prompt", "")
+            ),
         )
         name = str(req.get("out", f"images_{int(t0)}")).replace("/", "_")
         path = f"{output_dir}/{name}.npy"

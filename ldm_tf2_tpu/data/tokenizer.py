@@ -30,21 +30,28 @@ def tokenize_prompts(
 
 
 def cfg_token_ids(
-    tokenizer, prompt, batch_size: int, max_length: int = 77
+    tokenizer, prompt, batch_size: int, max_length: int = 77,
+    negative_prompt: str = "",
 ) -> np.ndarray:
-    """[2B, L] ids: B copies of the tokenized "" (uncond) then the B cond
-    rows (run_ldm_sampler.py:28-46).
+    """[2B, L] ids: B copies of the tokenized ``negative_prompt`` (uncond
+    half — "" by default, the reference semantics, run_ldm_sampler.py:28-46)
+    then the B cond rows.
 
     ``prompt`` may be a single string (tiled over the batch, the reference
     semantics) or a list of ``batch_size`` strings — per-example prompts in
-    one CFG batch (additive; the reference only samples one prompt)."""
+    one CFG batch (additive; the reference only samples one prompt).
+    ``negative_prompt`` steers the guidance direction *away* from its
+    content (standard CFG negative-prompting: the uncond branch becomes a
+    negated condition; additive — the reference hard-codes "")."""
     prompts = [prompt] if isinstance(prompt, str) else list(prompt)
     if len(prompts) not in (1, batch_size):
         raise ValueError(
             f"text_prompt must be one string or a list of {batch_size}, "
             f"got {len(prompts)} prompts"
         )
-    ids = tokenize_prompts(tokenizer, [""] + prompts, max_length)
+    ids = tokenize_prompts(
+        tokenizer, [negative_prompt] + prompts, max_length
+    )
     uncond, cond = ids[0], ids[1:]
     if cond.shape[0] == 1:
         cond = np.tile(cond, (batch_size, 1))

@@ -323,6 +323,28 @@ def test_sampler_cli(workspace):
     assert images.dtype == np.uint8
 
 
+def test_sampler_cli_negative_prompt(workspace):
+    """ldm_sampling.negative_prompt tokenizes into the CFG uncond half
+    (additive; the reference hard-codes "", run_ldm_sampler.py:28-46)."""
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["ldm_sampling"]["negative_prompt"] = "guitar on canvas"
+    neg_path = str(root / "config_neg.yaml")
+    with open(neg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(
+        run_ldm_sampler,
+        ["run_ldm_sampler", f"--config_path={neg_path}"],
+    )
+    images = np.load(root / "images.npy")
+    assert images.shape == (2, IMG, IMG, 3)
+    assert images.dtype == np.uint8
+
+
 def test_sampler_cli_int8(workspace):
     """tpu.quantize: int8 — the W8A8 U-Net conv path (ops/quant_conv.py)
     through the real sampler CLI; output stays a valid image batch."""

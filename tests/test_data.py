@@ -180,6 +180,15 @@ def test_cfg_token_ids_per_example_prompts(tmp_path):
     with pytest.raises(ValueError, match="one string or a list"):
         cfg_token_ids(tok, ["cat", "dog", "cat"], 2, max_length=6)
 
+    # negative_prompt replaces the uncond half's "" (additive; the
+    # reference hard-codes "" at run_ldm_sampler.py:28-46)
+    neg = cfg_token_ids(tok, "cat", 2, max_length=6, negative_prompt="dog")
+    np.testing.assert_array_equal(neg[2:], single[2:])  # cond unchanged
+    np.testing.assert_array_equal(neg[0], neg[1])       # uncond tiled
+    assert not np.array_equal(neg[0], single[0])        # "" -> "dog"
+    dog_row = cfg_token_ids(tok, "dog", 1, max_length=6)[1]
+    np.testing.assert_array_equal(neg[0], dog_row)
+
 
 def test_indexed_dataset_deterministic_resume(tmp_path):
     """data/indexed.py: the batch at step s is a pure function of

@@ -126,8 +126,8 @@ def main():
             ok[name] = f"{per[k][0]:8.3f}" if k in per else "??"
         tag = f"{h}x{w} {cin}->{cout} {epi} b{bsz}"
         print(f"{tag:26} {ok.get('bf16','--'):>8} "
-              f"{ok.get('2stage','--'):>8} {ok.get('fused','--'):>8} "
-              f"{blk if blk else '--':>9}")
+              f"{ok.get('2stage','--'):>8} {ok.get('2s-dots','--'):>8} "
+              f"{ok.get('fused','--'):>8} {blk if blk else '--':>9}")
 
 
 if __name__ == "__main__":

@@ -553,8 +553,15 @@ def use_fused_int8_chain(hw, w, cin, cout, has_add) -> bool:
     """Dispatch gate for the whole-chain kernel: measured to win 1.5-1.8x
     at hw >= 256 (tools/ab_int8_chain.py); at 8x8 (hw=64) the grid
     overhead loses to the 2-stage path, and VMEM-overflow shapes
-    decline via `_chain_pick`."""
-    return hw >= 256 and _chain_pick(hw, w, cin, cout, has_add) is not None
+    decline via `_chain_pick`.  cin >= 2560 declines even where the
+    VMEM pick would fit: at [32,16,16,2560->1280] (512^2 L2 concat) the
+    chunked fill + blk-128 dots measure 2.59 ms vs the 2-stage's 2.16
+    (the 1920-cin row still wins, 1.385 vs 1.425)."""
+    return (
+        hw >= 256
+        and cin < 2560
+        and _chain_pick(hw, w, cin, cout, has_add) is not None
+    )
 
 
 def _chain_pick(hw, w, cin, cout, has_add):

@@ -690,17 +690,29 @@ def gn_silu_conv3x3_int8(
         shapes (640-concat 1.21 vs 1.54; 64x64 2.02 vs 2.23).
     """
     cout = w.shape[-1]
+    hw, cin = x.shape[1] * x.shape[2], x.shape[3]
     if use_fused_int8_chain(
-        x.shape[1] * x.shape[2], x.shape[2], x.shape[3], cout,
-        residual_add is not None,
+        hw, x.shape[2], cin, cout, residual_add is not None,
     ):
         return gn_silu_conv3x3_int8_fused(
             x, gamma, beta, w, b, time_add=time_add,
             residual_add=residual_add, num_groups=num_groups, eps=eps,
         )
+    # Stage-2 impl per measured class (tools/ab_int8_chain.py, v5e):
+    # 9-shifted s8 dots beat the s8 emitter at hw 64 with cin <= 1280
+    # (0.361 vs 0.501 ms at [48,8,8,1280->1280]) and at every hw 256
+    # 2-stage row (1.983 vs 2.155 at cin 2560, 1.338 vs 1.425 at 1920);
+    # the emitter wins at hw 64 cin 2560 (0.694 vs 1.072) and at
+    # hw >= 1024 (2.297 vs 2.969 at [32,32,32,1280]).  Unlike the
+    # emitter custom call, dot_general epilogues fuse natively in XLA,
+    # so the probe-level ordering is expected to survive in-model.
+    stage2 = (
+        "dots" if (hw == 64 and cin <= 1280) or hw == 256 else "emitter"
+    )
     return gn_silu_conv3x3_int8_two_stage(
         x, gamma, beta, w, b, time_add=time_add,
         residual_add=residual_add, num_groups=num_groups, eps=eps,
+        stage2=stage2,
     )
 
 
@@ -887,15 +899,17 @@ def _s8_conv3x3_dots(y8, w8):
     return acc
 
 
-# Stage-2 s8 conv impl for the 2-stage path: "emitter" (XLA conv, default
-# — the 256^2-measured classes all use it) | "dots" (9 shifted s8 dots,
-# deterministic compile, for emitter-lottery classes).
-_STAGE2 = "emitter"
+# Stage-2 s8 conv impl for the 2-stage path: "auto" (default — the
+# per-class measured choice made by `gn_silu_conv3x3_int8`) | "emitter"
+# (force the XLA s8 conv) | "dots" (force the 9 shifted s8 dots — the
+# deterministic-compile escape hatch if a process draws the emitter's
+# compile-lottery cliff on a claimed class).
+_STAGE2 = "auto"
 
 
 def set_int8_stage2(impl: str) -> None:
     global _STAGE2
-    if impl not in ("emitter", "dots"):
+    if impl not in ("auto", "emitter", "dots"):
         raise ValueError(f"unknown int8 stage-2 impl: {impl!r}")
     _STAGE2 = impl
 
@@ -918,7 +932,10 @@ def gn_silu_conv3x3_int8_two_stage(
     8x8 (0.501 vs bf16 0.561)."""
     y8, sa = gn_silu_quant(x, gamma, beta, num_groups, eps)
     w8, ws = quantize_weight(w)
-    if (stage2 or _STAGE2) == "dots":
+    # The global policy (set_int8_stage2) force-overrides when not
+    # "auto"; else the caller's per-class choice; else the emitter.
+    impl = _STAGE2 if _STAGE2 != "auto" else (stage2 or "emitter")
+    if impl == "dots":
         acc = _s8_conv3x3_dots(y8, w8)
     else:
         acc = jax.lax.conv_general_dilated(

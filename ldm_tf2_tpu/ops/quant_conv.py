@@ -38,11 +38,14 @@ residual epilogue — all VMEM-resident.  Per-chain device times
   64x64  320-> 320      t       2.232 ms    2.021    VMEM       --
 
 Dispatch: fused where hw >= 256 and VMEM fits; the 8x8/4x4 levels and
-64x64 VMEM-decline shapes use the 2-stage composition.  Whole-pipeline:
-256^2 b24 50-step txt2img 6.85 -> 7.35 img/s (+7.3%, same session);
-bare CFG-b48 U-Net eval 73.6 -> 68.2 ms.  The remaining gap to the
-per-chain 1.6-1.8x is the 8x8/4x4 levels (24 of 44 convs, equal
-per-conv FLOPs) still on the weak 2-stage path.
+64x64 VMEM-decline shapes use the 2-stage composition, whose stage-2 s8
+conv is the 9-shifted-dots form at (hw 64, cin <= 1280) — 0.361 vs the
+emitter's 0.501 ms at [48,8,8,1280->1280], and dot_general epilogues
+fuse natively where the emitter custom call cannot — and the emitter
+elsewhere (hw-256 dots won probes but measured -0.9% on the 512^2
+pipeline; see `use_fused_int8_chain` NOTE).  Whole-pipeline (same-day
+A/B pairs): 256^2 b24 50-step txt2img 6.88 -> 7.44 img/s (+8.2%);
+512^2 b16 0.333 -> 0.348 (+4.5%).
 
 Stage 1 of the 2-stage fallback is a Pallas kernel for two reasons:
 (a) it is a single in-VMEM pass, and (b) a `pallas_call` is opaque to
@@ -553,15 +556,16 @@ def use_fused_int8_chain(hw, w, cin, cout, has_add) -> bool:
     """Dispatch gate for the whole-chain kernel: measured to win 1.5-1.8x
     at hw >= 256 (tools/ab_int8_chain.py); at 8x8 (hw=64) the grid
     overhead loses to the 2-stage path, and VMEM-overflow shapes
-    decline via `_chain_pick`.  cin >= 2560 declines even where the
-    VMEM pick would fit: at [32,16,16,2560->1280] (512^2 L2 concat) the
-    chunked fill + blk-128 dots measure 2.59 ms vs the 2-stage's 2.16
-    (the 1920-cin row still wins, 1.385 vs 1.425)."""
-    return (
-        hw >= 256
-        and cin < 2560
-        and _chain_pick(hw, w, cin, cout, has_add) is not None
-    )
+    decline via `_chain_pick`.
+
+    NOTE: at [32,16,16,2560->1280] (512^2 L2 concat) the chunked fill +
+    blk-128 dots measure 2.59 ms vs the 2-stage's 2.16 at PROBE level,
+    but routing cin >= 2560 to the 2-stage(dots) path measured -0.9% on
+    the full 512^2 pipeline (0.3478 -> 0.3447, same day) — the probe
+    ordering did not survive in-model, so fused keeps the claim (the
+    session-8 lesson again: trust pipeline A/Bs over probes for 2-stage
+    paths)."""
+    return hw >= 256 and _chain_pick(hw, w, cin, cout, has_add) is not None
 
 
 def _chain_pick(hw, w, cin, cout, has_add):
@@ -700,15 +704,14 @@ def gn_silu_conv3x3_int8(
         )
     # Stage-2 impl per measured class (tools/ab_int8_chain.py, v5e):
     # 9-shifted s8 dots beat the s8 emitter at hw 64 with cin <= 1280
-    # (0.361 vs 0.501 ms at [48,8,8,1280->1280]) and at every hw 256
-    # 2-stage row (1.983 vs 2.155 at cin 2560, 1.338 vs 1.425 at 1920);
-    # the emitter wins at hw 64 cin 2560 (0.694 vs 1.072) and at
-    # hw >= 1024 (2.297 vs 2.969 at [32,32,32,1280]).  Unlike the
-    # emitter custom call, dot_general epilogues fuse natively in XLA,
-    # so the probe-level ordering is expected to survive in-model.
-    stage2 = (
-        "dots" if (hw == 64 and cin <= 1280) or hw == 256 else "emitter"
-    )
+    # (0.361 vs 0.501 ms at [48,8,8,1280->1280]) — and the win survived
+    # the 256^2 pipeline A/B (int8 7.352 -> 7.438 img/s same-day, bf16
+    # stable).  The emitter keeps hw 64 cin 2560 (0.694 vs 1.072) and
+    # hw >= 1024 (2.297 vs 2.969 at [32,32,32,1280]).  hw 256 dots won
+    # at probe level too (1.983 vs 2.155 at cin 2560) but measured
+    # NEGATIVE on the 512^2 pipeline (0.3478 -> 0.3447 combined with the
+    # cin-2560 fused decline), so 2-stage hw 256 stays on the emitter.
+    stage2 = "dots" if (hw == 64 and cin <= 1280) else "emitter"
     return gn_silu_conv3x3_int8_two_stage(
         x, gamma, beta, w, b, time_add=time_add,
         residual_add=residual_add, num_groups=num_groups, eps=eps,

@@ -108,6 +108,12 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
         from ldm_tf2_tpu.ops.quant_conv import set_conv_quant
 
         set_conv_quant("int8")
+    # LDM_BENCH_INT8_ATTN=1: int8 PV flash attention
+    # (tpu.quantize_attention: int8pv, ops/flash_attention.py).
+    if os.environ.get("LDM_BENCH_INT8_ATTN", "0") == "1":
+        from ldm_tf2_tpu.ops.flash_attention import set_flash_pv_int8
+
+        set_flash_pv_int8(True)
 
     def pipeline(params, token_ids, key):
         unet_p, cond_p, ae_p = params

@@ -282,6 +282,12 @@ def main(_):
         print("[INFO] W8A8 int8 U-Net convs (tpu.quantize: int8; "
               "per-example activation scales, per-channel weight scales).")
         set_conv_quant("int8")
+    if config["tpu"]["quantize_attention"] == "int8pv":
+        from ldm_tf2_tpu.ops.flash_attention import set_flash_pv_int8
+
+        print("[INFO] int8 PV flash attention "
+              "(tpu.quantize_attention: int8pv).")
+        set_flash_pv_int8(True)
     if config["tpu"]["sequence_parallel"]:
         from ldm_tf2_tpu.ops.attention import enable_sequence_parallel
 

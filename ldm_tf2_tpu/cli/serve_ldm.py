@@ -103,6 +103,12 @@ def build_server(config):
         print("[serve] W8A8 int8 U-Net convs (tpu.quantize: int8)",
               file=sys.stderr)
         set_conv_quant("int8")
+    if config["tpu"]["quantize_attention"] == "int8pv":
+        from ldm_tf2_tpu.ops.flash_attention import set_flash_pv_int8
+
+        print("[serve] int8 PV flash attention "
+              "(tpu.quantize_attention: int8pv)", file=sys.stderr)
+        set_flash_pv_int8(True)
 
     def pipeline(params, token_ids, key, guidance_scale):
         cond_p, unet_p, ae_p = params

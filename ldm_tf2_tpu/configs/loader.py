@@ -61,6 +61,11 @@ _TPU_DEFAULTS: dict[str, Any] = {
     # scales + per-channel weight scales. Opt-in serving mode — output
     # differs from bf16 by quantization noise ("none" is the exact path).
     "quantize": "none",
+    # int8 PV contraction inside the flash-attention forward (the QK dot
+    # stays bf16 — its 128-lane contraction is too shallow to pay; see
+    # ops/flash_attention.py set_flash_pv_int8). Same opt-in serving
+    # semantics as tpu.quantize.
+    "quantize_attention": "none",
 }
 
 
@@ -143,6 +148,11 @@ def load_config(path: str) -> dict:
     if tpu["quantize"] not in ("none", "int8"):
         raise ValueError(
             f"tpu.quantize must be 'none' or 'int8', got {tpu['quantize']!r}"
+        )
+    if tpu["quantize_attention"] not in ("none", "int8pv"):
+        raise ValueError(
+            "tpu.quantize_attention must be 'none' or 'int8pv', got "
+            f"{tpu['quantize_attention']!r}"
         )
     config["tpu"] = tpu
     return config

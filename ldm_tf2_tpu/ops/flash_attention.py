@@ -42,6 +42,37 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 _NEG_INF = -1e30
 
+# Serving-only switch: run the flash forward's PV contraction in int8
+# (p as 7-bit fixed point — exp(s - m) is in [0, 1] so the scale is the
+# constant 1/127 — and the v block quantized per kv-block in-kernel).
+# The QK dot stays bf16: its contraction is the lane-padded head dim
+# (128), too shallow for the int8 MXU mode to pay (tools/
+# probe_int8_attn.py: qk_s8 ties/loses, pv_s8 1.7-3x bare).
+#
+# MEASURED NEGATIVE on v5e — NOT dispatched by default int8 mode
+# (tools/ab_pv_int8.py, full kernel, device profiler):
+#   256^2 L0 b48 t1024   bf16 1.538   int8pv 1.959  (-27%)
+#   512^2 L0 b32 t4096       14.684          14.759  (tie)
+#   256^2 L1 b48 t256         0.467           0.402  (XLA path anyway)
+# The bare PV dot's 3x evaporates: the in-kernel p round/astype over the
+# [BQ, BK] block plus the v-block quantize are VPU work that serializes
+# against the MXU dots — the same VPU-bound failure mode as the bf16
+# whole-chain conv kernel (ops/fused_conv.py finding #2).  Kept as a
+# tested opt-in (`tpu.quantize_attention: int8pv`) for future hardware
+# where the VPU:MXU ratio differs; gradients are NOT routed through it
+# (the custom_vjp backward recomputes in bf16/f32 — sampling takes no
+# gradients).
+_PV_INT8 = False
+
+
+def set_flash_pv_int8(enabled: bool) -> None:
+    global _PV_INT8
+    _PV_INT8 = bool(enabled)
+
+
+def get_flash_pv_int8() -> bool:
+    return _PV_INT8
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -104,7 +135,7 @@ def _pick_blocks_bwd(sp: int, q_len: int = 4096) -> tuple[int, int]:
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, *rest, scale, kv_len, block_k, masked,
-    save_residuals,
+    save_residuals, pv_int8=False,
 ):
     if save_residuals:
         o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
@@ -142,9 +173,28 @@ def _flash_kernel(
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if pv_int8:
+        # PV in the MXU's 2x int8 mode: p in [0, 1] quantizes to 7-bit
+        # fixed point with the CONSTANT scale 1/127 (no amax pass);
+        # the v block gets a per-kv-block dynamic scale (one VPU reduce
+        # over [BK, Sp] — 8x smaller than the exp above).  l_new keeps
+        # the exact f32 row sums, so quantization error enters only
+        # through the weighted value average, not the normalizer.
+        p8 = jnp.round(p * 127.0).astype(jnp.int8)
+        sv = jnp.maximum(jnp.max(jnp.abs(v)), 1e-8) * (1.0 / 127.0)
+        v8 = jnp.clip(jnp.round(v * (1.0 / sv)), -127.0, 127.0).astype(
+            jnp.int8
+        )
+        pv = jax.lax.dot_general(
+            p8, v8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (sv * (1.0 / 127.0))
+    else:
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:] = acc_ref[:] * alpha + pv
     m_ref[:] = m_new
     l_ref[:] = l_new
 
@@ -192,6 +242,7 @@ def _forward_packed(qt, kt, vt, scale, block_q=None, block_k=None,
         functools.partial(
             _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
             masked=kv_len != kv_pad, save_residuals=save_residuals,
+            pv_int8=_PV_INT8,
         ),
         grid=grid,
         in_specs=[
@@ -646,6 +697,7 @@ def _forward_flat(qf, kf, vf, scale, h, block_q=None, block_k=None,
         functools.partial(
             _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
             masked=kv_len != kv_pad, save_residuals=save_residuals,
+            pv_int8=_PV_INT8,
         ),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],

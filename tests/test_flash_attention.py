@@ -245,3 +245,46 @@ def test_flash_backward_extreme_logits_ragged_kv():
     for a, b_ in zip(g_flash, g_xla):
         assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_pv_int8_close_to_reference():
+    """int8-PV serving mode (`set_flash_pv_int8`): p is 7-bit fixed point
+    (exact scale 1/127 since p in [0,1]) and v per-kv-block s8, so the
+    output differs from the exact path only by bounded quantization
+    noise; the softmax normalizer stays exact f32."""
+    from ldm_tf2_tpu.ops.flash_attention import (
+        flash_attention_flat,
+        get_flash_pv_int8,
+        lane_pad,
+        set_flash_pv_int8,
+    )
+
+    b, t, h, s = 1, 256, 2, 40
+    sp = lane_pad(s)
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(keys[0], (b, t, h, s))
+    k = jax.random.normal(keys[1], (b, t, h, s))
+    v = jax.random.normal(keys[2], (b, t, h, s))
+    scale = s**-0.5
+
+    def flatten(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, sp - s)))
+        return x.reshape(b, t, h * sp)
+
+    expected = _xla_attention(q, k, v, scale)
+    assert not get_flash_pv_int8()
+    set_flash_pv_int8(True)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention_flat(
+                flatten(q), flatten(k), flatten(v), scale, h
+            )
+    finally:
+        set_flash_pv_int8(False)
+    out = np.asarray(out).reshape(b, t, h, sp)[..., :s]
+    # v values are O(1) normals: per-element error is bounded by the p
+    # quantization step (1/254 of the value range) times the value
+    # magnitude plus the v step; 0.02 absolute is ~5 quantization steps.
+    np.testing.assert_allclose(out, expected, atol=0.02)
+    # and it must NOT be bit-identical (the quantization actually ran)
+    assert np.abs(out - np.asarray(expected)).max() > 1e-6

@@ -172,15 +172,26 @@ def main():
 
     # default: the headline 256^2 / 50-step config (BASELINE config #2);
     # `python bench.py highres` runs BASELINE config #5 (512^2, 64x64
-    # latents, 200 DDIM steps, eta irrelevant for throughput).
-    highres = len(sys.argv) > 1 and sys.argv[1] == "highres"
+    # latents, 200 DDIM steps, eta irrelevant for throughput);
+    # `python bench.py ultra` runs 1024^2 (128x128 latents, 16384-token
+    # L0 self-attention — the SURVEY §5 long-context regime) at 50 DDIM
+    # steps, beyond any reference config.
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    highres = mode == "highres"
+    ultra = mode == "ultra"
     # batch 24 is the measured throughput peak on v5e with the current
     # kernels (2026-08-18 sweep: 16: 6.73, 24: 6.76, 32: 6.63 img/s at
     # 256^2; the round-1 sweep peaked at 16 with the older kernels).
     # 512^2 stays at 16: the 24-wide (48 CFG) 64x64-latent program
-    # crashed the TPU worker (activation memory).
-    batch = int(os.environ.get("LDM_BENCH_BATCH", "16" if highres else "24"))
-    if highres:
+    # crashed the TPU worker (activation memory).  1024^2 defaults to 4.
+    batch = int(os.environ.get(
+        "LDM_BENCH_BATCH", "4" if ultra else ("16" if highres else "24")
+    ))
+    if ultra:
+        pipeline, params, token_ids = build_pipeline(
+            batch=batch, latent=128, steps=50
+        )
+    elif highres:
         pipeline, params, token_ids = build_pipeline(
             batch=batch, latent=64, steps=200
         )
@@ -226,11 +237,15 @@ def main():
 
     images_per_sec = batch * runs / elapsed
     p50_latency = elapsed / (batch * runs)
-    size = "512x512 200-step" if highres else "256x256 50-step"
+    size = ("1024x1024 50-step" if ultra
+            else "512x512 200-step" if highres else "256x256 50-step")
     # The CPU baseline was measured for the 256^2/50-step config; for the
     # highres mode, extrapolate it by FLOP ratio (4x spatial work per step
-    # in the conv-dominated U-Net x 4x the steps = 16x slower).
-    baseline = TF2_CPU_BASELINE_IMAGES_PER_SEC / (16.0 if highres else 1.0)
+    # in the conv-dominated U-Net x 4x the steps = 16x slower; ultra:
+    # 16x spatial work, same steps).
+    baseline = TF2_CPU_BASELINE_IMAGES_PER_SEC / (
+        16.0 if (highres or ultra) else 1.0
+    )
     result = {
         "metric": f"images/sec/chip, {size} DDIM txt2img (CFG, batch {batch})",
         "value": round(images_per_sec, 4),

@@ -89,7 +89,18 @@ def test_txt2img_pipeline_parity():
 
     x_final, images = jax.jit(pipeline)(token_ids, xt0, key)
 
-    np.testing.assert_allclose(x_final, g["x_final"], rtol=1e-3, atol=1e-4)
+    # On CPU the f32 math is near-exact; on the real chip
+    # (LDM_TESTS_ON_TPU=1) the TPU matmul accumulation + flash kernel
+    # give ~8-9e-4 latent error (measured 8.0e-4 here, 9.2e-4 in the
+    # round-1 full-size run) — an order of magnitude inside the 1e-2
+    # north-star budget, so the latent tolerance widens there.
+    on_tpu = jax.default_backend() == "tpu"
+    np.testing.assert_allclose(
+        x_final, g["x_final"],
+        rtol=1e-2 if on_tpu else 1e-3, atol=2e-3 if on_tpu else 1e-4,
+    )
     # the north-star tolerance: <= 1e-2 in pixel space
     assert float(jnp.abs(images - g["images"]).max()) < 1e-2
-    np.testing.assert_allclose(images, g["images"], rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(
+        images, g["images"], rtol=1e-2, atol=2e-3 if on_tpu else 1e-3
+    )

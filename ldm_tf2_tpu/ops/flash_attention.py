@@ -172,15 +172,21 @@ def _flash_kernel(
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     if pv_int8:
         # PV in the MXU's 2x int8 mode: p in [0, 1] quantizes to 7-bit
         # fixed point with the CONSTANT scale 1/127 (no amax pass);
         # the v block gets a per-kv-block dynamic scale (one VPU reduce
-        # over [BK, Sp] — 8x smaller than the exp above).  l_new keeps
-        # the exact f32 row sums, so quantization error enters only
-        # through the weighted value average, not the normalizer.
+        # over [BK, Sp] — 8x smaller than the exp above).  The
+        # normalizer l sums the SAME quantized p (dequantized), keeping
+        # numerator and denominator consistent: attention weights below
+        # the 1/254 rounding threshold drop from BOTH, so the output is
+        # a correctly-normalized average over the surviving keys rather
+        # than an attenuated one (dropping them from the numerator only
+        # would shrink the output by the truncated mass — unbounded
+        # relative error in diffuse-attention rows).
         p8 = jnp.round(p * 127.0).astype(jnp.int8)
+        pq = p8.astype(jnp.float32) * (1.0 / 127.0)
+        l_new = l_prev * alpha + jnp.sum(pq, axis=-1, keepdims=True)
         sv = jnp.maximum(jnp.max(jnp.abs(v)), 1e-8) * (1.0 / 127.0)
         v8 = jnp.clip(jnp.round(v * (1.0 / sv)), -127.0, 127.0).astype(
             jnp.int8
@@ -190,6 +196,7 @@ def _flash_kernel(
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32) * (sv * (1.0 / 127.0))
     else:
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -545,7 +552,21 @@ def flash_attention(q, k, v, scale):
     return _flash_forward(q, k, v, scale)
 
 
+def _require_exact_forward():
+    """custom_vjp forwards run only under differentiation; int8-PV is a
+    sampling-only mode whose backward would recompute p in f32 against a
+    quantized forward — silently inconsistent gradients.  Fail loudly
+    instead (the int8 conv path fails the same way under grad)."""
+    if _PV_INT8:
+        raise NotImplementedError(
+            "flash attention int8-PV (set_flash_pv_int8/"
+            "tpu.quantize_attention) is a sampling-only serving mode and "
+            "does not support differentiation; disable it for training."
+        )
+
+
 def _fwd(q, k, v, scale):
+    _require_exact_forward()
     if _FLASH_BACKWARD == "pallas":
         o, lse = _flash_forward(q, k, v, scale, save_residuals=True)
         return o, (q, k, v, o, lse)
@@ -595,6 +616,7 @@ def flash_attention_packed(q, k, v, scale):
 
 
 def _fwd_packed(q, k, v, scale):
+    _require_exact_forward()
     b, h, t, sp = q.shape
     kv = k.shape[2]
     if _FLASH_BACKWARD == "pallas":
@@ -815,6 +837,7 @@ def flash_attention_flat(q, k, v, scale, num_heads):
 
 
 def _fwd_flat(q, k, v, scale, num_heads):
+    _require_exact_forward()
     if _FLASH_BACKWARD == "pallas":
         o, lse = _forward_flat(q, k, v, scale, num_heads,
                                save_residuals=True)

@@ -67,17 +67,15 @@ def get_fused_conv_impl() -> str:
     return _IMPL
 
 
-def conv3x3_dots(y, w, b):
-    """3x3 SAME conv as 9 shifted [B,H,W,Cin]x[Cin,Cout] dots.
-
-    Bypasses XLA's convolution emitter, which on v5e compiles some U-Net
-    concat-conv shapes (e.g. [16,32,32,640]->320) to a ~4 TF/s program —
-    nondeterministically across compiles — while this formulation measures
-    at ~378 TF/s (~96% of the bf16 MXU roofline) on the same shape
-    (tools/probe_concat_conv.py).  XLA fuses the pad+slice into the dot
-    operands, so no 9x activation materialization occurs."""
+def conv3x3_tap_dots(y, w, preferred_element_type):
+    """Core of the emitter-bypass 3x3 SAME conv: 9 shifted
+    [B,H,W,Cin]x[Cin,Cout] dot_generals over a zero-padded input,
+    accumulated in ``preferred_element_type`` (f32 for the bf16 path,
+    s32 for the W8A8 path — ops/quant_conv._s8_conv3x3_dots).  Kernel
+    taps are cast to the activation dtype (a no-op when they already
+    match, e.g. s8).  XLA fuses the pad+slice into the dot operands, so
+    no 9x activation materialization occurs."""
     bsz, h, wd, cin = y.shape
-    cout = w.shape[-1]
     yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
     out = None
     for dy in range(3):
@@ -88,9 +86,21 @@ def conv3x3_dots(y, w, b):
             d = jax.lax.dot_general(
                 tap, w[dy, dx].astype(tap.dtype),
                 (((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=preferred_element_type,
             )
             out = d if out is None else out + d
+    return out
+
+
+def conv3x3_dots(y, w, b):
+    """3x3 SAME conv as 9 shifted [B,H,W,Cin]x[Cin,Cout] dots.
+
+    Bypasses XLA's convolution emitter, which on v5e compiles some U-Net
+    concat-conv shapes (e.g. [16,32,32,640]->320) to a ~4 TF/s program —
+    nondeterministically across compiles — while this formulation measures
+    at ~378 TF/s (~96% of the bf16 MXU roofline) on the same shape
+    (tools/probe_concat_conv.py)."""
+    out = conv3x3_tap_dots(y, w, jnp.float32)
     return out.astype(y.dtype) + b.astype(y.dtype)
 
 

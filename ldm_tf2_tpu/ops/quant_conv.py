@@ -876,30 +876,17 @@ def _s8_conv3x3_batched(y8, sa, w8, ws, b, time_add, residual_add,
 def _s8_conv3x3_dots(y8, w8):
     """3x3 SAME s8 conv as 9 shifted s8 x s8 -> s32 dot_generals.
 
-    The integer twin of ``ops.fused_conv.conv3x3_dots``: bypasses XLA's
+    The integer twin of ``ops.fused_conv.conv3x3_dots`` (same shared
+    tap-enumeration core, `fused_conv.conv3x3_tap_dots`): bypasses XLA's
     convolution emitter, which inherits the bf16 emitter's
     nondeterministic ~4 TF/s compile lottery (ops/fused_conv.py finding
-    #1) — the suspected cause of the first 512^2 int8 pipeline running
-    >6x slower than bf16 (NEXT.md session 8).  dot_general s8xs8->s32
-    measures 380 TOP/s on v5e (tools/probe_int8.py) and has never drawn
-    a cliff.  Integer-exact vs the emitter (same taps, same s32
-    accumulation; zero-pad border matches SAME semantics)."""
-    bsz, h, wd, cin = y8.shape
-    cout = w8.shape[-1]
-    yp = jnp.pad(y8, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    acc = None
-    for dy in range(3):
-        for dx in range(3):
-            tap = jax.lax.dynamic_slice(
-                yp, (0, dy, dx, 0), (bsz, h, wd, cin)
-            )
-            d = jax.lax.dot_general(
-                tap, w8[dy, dx],
-                (((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            acc = d if acc is None else acc + d
-    return acc
+    #1).  dot_general s8xs8->s32 measures 380 TOP/s on v5e
+    (tools/probe_int8.py) and has never drawn a cliff.  Integer-exact vs
+    the emitter (same taps, same s32 accumulation; zero-pad border
+    matches SAME semantics)."""
+    from ldm_tf2_tpu.ops.fused_conv import conv3x3_tap_dots
+
+    return conv3x3_tap_dots(y8, w8, jnp.int32)
 
 
 # Stage-2 s8 conv impl for the 2-stage path: "auto" (default — the

@@ -249,9 +249,10 @@ def test_flash_backward_extreme_logits_ragged_kv():
 
 def test_flash_pv_int8_close_to_reference():
     """int8-PV serving mode (`set_flash_pv_int8`): p is 7-bit fixed point
-    (exact scale 1/127 since p in [0,1]) and v per-kv-block s8, so the
-    output differs from the exact path only by bounded quantization
-    noise; the softmax normalizer stays exact f32."""
+    (exact scale 1/127 since p in [0,1]) and v per-kv-block s8; the
+    normalizer sums the SAME quantized p, so sub-threshold attention
+    weights drop from numerator and denominator consistently and the
+    output stays a correctly-normalized average (bounded error)."""
     from ldm_tf2_tpu.ops.flash_attention import (
         flash_attention_flat,
         get_flash_pv_int8,

@@ -268,7 +268,7 @@ def test_two_stage_dots_impl_matches_emitter_impl(rng):
     try:
         out = gn_silu_conv3x3_int8_two_stage(x, gamma, beta, wk, bias)
     finally:
-        set_int8_stage2("emitter")
+        set_int8_stage2("auto")
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
     )

@@ -20,7 +20,7 @@ import os
 
 from absl import app, flags
 
-from ldm_tf2_tpu.cli._flags import define_string
+from ldm_tf2_tpu.cli._flags import define_bool, define_string
 
 define_string("config_path", None, "Path to yaml config file.")
 define_string("out_dir", "exported", "Output directory for the artifacts.")
@@ -29,7 +29,7 @@ define_string(
     "Which training checkpoint to export: ldm (unet + cond model) or "
     "autoencoder.",
 )
-flags.DEFINE_bool(
+define_bool(
     "use_ema", True,
     "Prefer EMA weights when present in the checkpoint (recommended).",
 )

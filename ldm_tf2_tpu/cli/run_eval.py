@@ -38,19 +38,29 @@ define_string("prompts_path", None,
 FLAGS = flags.FLAGS
 
 
+def _as_batch(arr: np.ndarray, src: str) -> np.ndarray:
+    """Promote one loaded array to [N, H, W, 3]."""
+    if arr.ndim == 3:
+        arr = arr[None]
+    if arr.ndim != 4 or arr.shape[-1] != 3:
+        raise ValueError(f"{src}: expected [N, H, W, 3], got {arr.shape}")
+    return arr
+
+
 def load_images(path: str) -> np.ndarray:
     """[N, H, W, 3] float32 in [-1, 1] from a .npy stack or a directory."""
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.npy")))
         if not files:
             raise ValueError(f"no .npy files under {path}")
-        stack = np.concatenate([np.load(f) for f in files], axis=0)
+        # promote each file BEFORE concatenating: a directory of
+        # single-image [H, W, 3] files would otherwise concatenate along
+        # H into one corrupt mega-image that still passes the 4-D check
+        stack = np.concatenate(
+            [_as_batch(np.load(f), f) for f in files], axis=0
+        )
     else:
-        stack = np.load(path)
-    if stack.ndim == 3:
-        stack = stack[None]
-    if stack.ndim != 4 or stack.shape[-1] != 3:
-        raise ValueError(f"{path}: expected [N, H, W, 3], got {stack.shape}")
+        stack = _as_batch(np.load(path), path)
     if stack.dtype == np.uint8:
         stack = stack.astype(np.float32) / 127.5 - 1.0
     return np.asarray(stack, np.float32)
@@ -63,6 +73,11 @@ def main(_):
         fid_from_features,
         vgg_feature_extractor,
     )
+
+    if FLAGS.clip_weights_path and not FLAGS.prompts_path:
+        # validate BEFORE the (expensive) FID pass: failing at the CLIP
+        # block after feature extraction would lose the whole eval
+        raise ValueError("--clip_weights_path requires --prompts_path")
 
     generated = load_images(FLAGS.generated)
     real = load_images(FLAGS.real)

@@ -30,12 +30,10 @@ FLAGS = flags.FLAGS
 
 
 def _load_images(path: str) -> np.ndarray:
-    images = np.load(path)
-    if images.ndim != 4 or images.shape[-1] != 3:
-        raise ValueError(f"{path}: expected [N,H,W,3], got {images.shape}")
-    if images.dtype == np.uint8:
-        images = images.astype(np.float32) / 127.5 - 1.0
-    return images.astype(np.float32)
+    # shared loader (handles dirs of stacks + single-image promotion too)
+    from ldm_tf2_tpu.cli.run_eval import load_images
+
+    return load_images(path)
 
 
 def main(_):

@@ -25,6 +25,7 @@ single compiled program; vary them per-config, not per-request).
 
 from __future__ import annotations
 
+import itertools
 import json
 import sys
 import time
@@ -53,6 +54,11 @@ def build_server(config):
     from ldm_tf2_tpu.diffusion.sampler import (
         ddim_sample_loop,
         ddim_sample_loop_deepcache,
+        ddpm_sample_loop,
+    )
+    from ldm_tf2_tpu.diffusion.solvers import (
+        dpm_solver_pp_2m_sample_loop,
+        plms_sample_loop,
     )
     from ldm_tf2_tpu.models import AutoencoderKL, AutoencoderVQ
     from ldm_tf2_tpu.parallel import create_mesh, replicate, shard_batch
@@ -97,6 +103,27 @@ def build_server(config):
     cache_interval = int(sampling.get("cache_interval", 1))
     cache_levels = int(sampling.get("cache_levels", 1))
 
+    # same sampler selection (and validation) as run_ldm_sampler, so one
+    # YAML produces the same samples through either CLI
+    sample_loops = {
+        "ddim": ddim_sample_loop,
+        "ddpm": ddpm_sample_loop,
+        "plms": plms_sample_loop,
+        "dpm_solver_pp_2m": dpm_solver_pp_2m_sample_loop,
+    }
+    sampler_name = sampling.get("sampler", "ddim")
+    if sampler_name not in sample_loops:
+        raise ValueError(
+            f"ldm_sampling.sampler must be one of {sorted(sample_loops)}, "
+            f"got {sampler_name!r}"
+        )
+    if cache_interval > 1 and sampler_name != "ddim":
+        raise ValueError(
+            "ldm_sampling.cache_interval > 1 requires sampler: ddim, got "
+            f"{sampler_name!r}"
+        )
+    sample_loop = sample_loops[sampler_name]
+
     if config["tpu"]["quantize"] == "int8":
         from ldm_tf2_tpu.ops.quant_conv import set_conv_quant
 
@@ -130,17 +157,31 @@ def build_server(config):
             eps_model = lambda x, t, c: unet.apply(
                 {"params": unet_p}, x, t, c
             )
-            x0 = ddim_sample_loop(
+            x0 = sample_loop(
                 eps_model, schedule, context, shape, key, guidance_scale
             )
         return decode(ae_p, x0)
 
     mesh = create_mesh(config["tpu"]["mesh"])
+    sp_on = bool(config["tpu"]["sequence_parallel"])
+    if sp_on:
+        # same Ulysses dispatch as run_ldm_sampler — the server must not
+        # silently waste the mesh's model axis
+        from ldm_tf2_tpu.ops.attention import enable_sequence_parallel
+
+        print("[serve] Ulysses sequence-parallel attention over 'model' "
+              f"axis (size {mesh.shape['model']})", file=sys.stderr)
+        enable_sequence_parallel(mesh)
+        params = replicate(params, mesh)
     n_data = mesh.shape["data"]
     data_parallel = shape[0] % n_data == 0
-    if data_parallel:
+    if data_parallel and not sp_on:
         print(f"[serve] data-parallel over mesh {mesh}", file=sys.stderr)
         params = replicate(params, mesh)
+    elif not sp_on:
+        # place the weight tree on device ONCE — otherwise every request
+        # re-transfers the ~GB params host-to-device through jit
+        params = jax.device_put(params)
     jitted = jax.jit(pipeline)
 
     def run(prompt, seed, guidance_scale, negative_prompt=""):
@@ -160,6 +201,8 @@ def build_server(config):
         )
         return tensor_to_image(np.asarray(out))
 
+    request_seq = itertools.count()
+
     def handle_request(req: dict, output_dir: str) -> dict:
         t0 = time.perf_counter()
         prompt = req.get("prompt", sampling["text_prompt"])
@@ -171,7 +214,10 @@ def build_server(config):
                 "negative_prompt", sampling.get("negative_prompt", "")
             ),
         )
-        name = str(req.get("out", f"images_{int(t0)}")).replace("/", "_")
+        # default name: wall time + per-process counter (perf_counter has
+        # an arbitrary epoch and same-second requests would overwrite)
+        default = f"images_{int(time.time())}_{next(request_seq)}"
+        name = str(req.get("out", default)).replace("/", "_")
         path = f"{output_dir}/{name}.npy"
         np.save(path, images)
         return {

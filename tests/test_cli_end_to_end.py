@@ -484,6 +484,30 @@ def test_run_eval_cli(workspace):
     assert identical["fid"] < 1e-4
     assert fid_of("shifted.npy")["fid"] > identical["fid"]
 
+    # a directory of single-image [H,W,3] files loads as N images, not
+    # one concatenated mega-image (review fix)
+    img_dir = root / "per_image"
+    img_dir.mkdir(exist_ok=True)
+    for i in range(6):
+        np.save(img_dir / f"im{i}.npy", real[i])
+    dir_fid = fid_of("per_image")
+    assert dir_fid["num_generated"] == 6
+    assert dir_fid["fid"] < 1e-4
+
+    # --clip_weights_path without --prompts_path fails BEFORE the FID
+    # pass, not after (review fix)
+    with pytest.raises(ValueError, match="requires --prompts_path"):
+        _run_cli(
+            run_eval,
+            [
+                "run_eval",
+                f"--generated={root / 'same.npy'}",
+                f"--real={root / 'real.npy'}",
+                f"--lpips_ckpt_path={root / 'lpips-1'}",
+                "--clip_weights_path=/nonexistent",
+            ],
+        )
+
 
 def test_serve_ldm_loop(workspace):
     """The serving loop (cli/serve_ldm.py): jit once, answer multiple
@@ -519,6 +543,43 @@ def test_serve_ldm_loop(workspace):
         assert images.shape == (2, IMG, IMG, 3)
         assert images.dtype == np.uint8
     assert not (root / "r3.npy").exists()
+
+
+def test_serve_ldm_solver_and_default_names(workspace):
+    """serve_ldm honors ldm_sampling.sampler (same selection as the
+    sampler CLI) and default output names are unique per request
+    (review fixes)."""
+    import io
+
+    import yaml as _yaml
+
+    from ldm_tf2_tpu.cli.serve_ldm import serve
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    os.chdir(root)
+    cfg = load_config(config_path)
+    cfg["ldm_sampling"]["sampler"] = "dpm_solver_pp_2m"
+    requests = "\n".join(
+        [
+            '{"prompt": "a virus monster", "seed": 1}',
+            '{"prompt": "guitar", "seed": 2}',
+        ]
+    )
+    out = io.StringIO()
+    serve(cfg, io.StringIO(requests), out, output_dir=str(root))
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(resps) == 2 and all(r["ok"] for r in resps)
+    # two default-named outputs must be distinct files
+    assert resps[0]["out"] != resps[1]["out"]
+
+    # cache_interval > 1 with a non-ddim sampler is rejected like the
+    # sampler CLI
+    cfg2 = load_config(config_path)
+    cfg2["ldm_sampling"]["sampler"] = "plms"
+    cfg2["ldm_sampling"]["cache_interval"] = 2
+    with pytest.raises(ValueError, match="requires sampler: ddim"):
+        serve(cfg2, io.StringIO(""), io.StringIO(), output_dir=str(root))
 
 
 @pytest.mark.parametrize("with_mask", [False, True])

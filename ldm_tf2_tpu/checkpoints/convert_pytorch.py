@@ -297,7 +297,7 @@ def convert_unet(
     # spatial transformers on all but the deepest level; upsample at the end
     # of each level except the last processed (shallowest).
     ours_idx = 0
-    for rev, (level, mult) in enumerate(list(enumerate(channel_mult))[::-1]):
+    for level, mult in reversed(list(enumerate(channel_mult))):
         for j in range(num_blocks + 1):
             src = f"output_blocks.{ours_idx}"
             dst = (f"output_block_{ours_idx}",)
@@ -451,13 +451,8 @@ def _convert_decoder(
     _set(p, dec + ("conv_out", "bias"), g("decoder.conv_out.bias"))
 
 
-def convert_autoencoder_kl(
-    sd: StateDict,
-    num_blocks: int = 2,
-    multipliers: tuple[int, ...] = (1, 2, 4, 4),
-    prefix: str = "first_stage_model.",
-    reference_params: ParamTree | None = None,
-) -> ParamTree:
+def _convert_autoencoder(sd, num_blocks, multipliers, prefix) -> ParamTree:
+    """Shared KL/VQ body: encoder + decoder + (post_)quant 1x1 convs."""
     p: ParamTree = {}
     g = lambda k: np.asarray(sd[prefix + k])
     _convert_encoder(g, sd, p, prefix, num_blocks, multipliers)
@@ -466,6 +461,17 @@ def convert_autoencoder_kl(
     _set(p, ("quant_conv", "bias"), g("quant_conv.bias"))
     _set(p, ("post_quant_conv", "kernel"), _conv1x1(g("post_quant_conv.weight")))
     _set(p, ("post_quant_conv", "bias"), g("post_quant_conv.bias"))
+    return p
+
+
+def convert_autoencoder_kl(
+    sd: StateDict,
+    num_blocks: int = 2,
+    multipliers: tuple[int, ...] = (1, 2, 4, 4),
+    prefix: str = "first_stage_model.",
+    reference_params: ParamTree | None = None,
+) -> ParamTree:
+    p = _convert_autoencoder(sd, num_blocks, multipliers, prefix)
     if reference_params is not None:
         _verify_against(reference_params, p, "autoencoder_kl")
     return p
@@ -478,14 +484,8 @@ def convert_autoencoder_vq(
     prefix: str = "first_stage_model.",
     reference_params: ParamTree | None = None,
 ) -> ParamTree:
-    p: ParamTree = {}
+    p = _convert_autoencoder(sd, num_blocks, multipliers, prefix)
     g = lambda k: np.asarray(sd[prefix + k])
-    _convert_encoder(g, sd, p, prefix, num_blocks, multipliers)
-    _convert_decoder(g, sd, p, prefix, num_blocks, multipliers)
-    _set(p, ("quant_conv", "kernel"), _conv1x1(g("quant_conv.weight")))
-    _set(p, ("quant_conv", "bias"), g("quant_conv.bias"))
-    _set(p, ("post_quant_conv", "kernel"), _conv1x1(g("post_quant_conv.weight")))
-    _set(p, ("post_quant_conv", "bias"), g("post_quant_conv.bias"))
     _set(p, ("quantize", "kernel"), g("quantize.embedding.weight"))
     if reference_params is not None:
         _verify_against(reference_params, p, "autoencoder_vq")

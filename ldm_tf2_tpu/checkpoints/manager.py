@@ -23,12 +23,19 @@ from typing import Any
 import orbax.checkpoint as ocp
 
 
+def _resolve(directory: str) -> str:
+    """Absolutize local paths; pass URI-style paths (gs://...) through —
+    os.path.abspath would mangle them into a local './gs:/...' directory,
+    silently writing per-host shards to local disk on a multi-host run."""
+    return directory if "://" in directory else os.path.abspath(directory)
+
+
 class CheckpointManager:
     """Thin wrapper around orbax CheckpointManager for train states."""
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         self._mgr = ocp.CheckpointManager(
-            os.path.abspath(directory),
+            _resolve(directory),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, enable_async_checkpointing=True
             ),
@@ -60,11 +67,11 @@ def save_params(directory: str, params: Any, overwrite: bool = False) -> None:
     overwrite=True replaces an existing artifact atomically (Orbax
     `force`), for re-runnable export flows."""
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(directory), params, force=overwrite)
+    ckptr.save(_resolve(directory), params, force=overwrite)
     ckptr.wait_until_finished()
 
 
 def load_params(directory: str, abstract_params: Any = None) -> Any:
     """Load a bare param pytree saved by `save_params`."""
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(directory), abstract_params)
+    return ckptr.restore(_resolve(directory), abstract_params)

@@ -59,7 +59,12 @@ def create_mesh(
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """NamedSharding that splits axis 0 (batch) across the data axis."""
+    """NamedSharding that splits axis 0 (batch) across the data axis.
+
+    Rank-0 leaves (per-batch scalars) have no batch axis to split and
+    replicate instead — P(DATA_AXIS) on a 0-d array is an error."""
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 

@@ -166,3 +166,29 @@ def test_tp_rules_fall_back_on_indivisible_dims():
     shardings = tp_param_shardings(params, mesh)
     q = shardings["layer_0"]["mha"]["query"]["kernel"]
     assert q.spec == jax.sharding.PartitionSpec()
+
+
+def test_shard_batch_replicates_scalar_leaves():
+    """Rank-0 leaves in a batch pytree replicate instead of crashing
+    (P('data') on a 0-d array is invalid — review fix)."""
+    import numpy as np
+
+    from ldm_tf2_tpu.parallel import create_mesh, shard_batch
+
+    mesh = create_mesh({"data": -1})
+    batch = {
+        "images": np.zeros((8, 4, 4, 3), np.float32),
+        "loss_weight": np.float32(0.5),  # rank-0 per-batch scalar
+    }
+    out = shard_batch(batch, mesh)
+    assert float(out["loss_weight"]) == 0.5
+    assert out["images"].shape == (8, 4, 4, 3)
+
+
+def test_checkpoint_path_resolver_preserves_uris():
+    """gs://-style checkpoint paths must pass through unmangled
+    (os.path.abspath would turn them into local './gs:/...' dirs)."""
+    from ldm_tf2_tpu.checkpoints.manager import _resolve
+
+    assert _resolve("gs://bucket/run1") == "gs://bucket/run1"
+    assert _resolve("relative/dir").startswith("/")

@@ -10,17 +10,30 @@ Protocol: one JSON object per line on stdin; one JSON response per line on
 stdout (logs go to stderr so stdout stays machine-readable).
 
   request:  {"prompt": "a cat" | ["p1", ...], "negative_prompt": "",
-             "seed": 0,
+             "seed": 0, "n": 1,
              "guidance_scale": 5.0, "out": "name"}
   response: {"ok": true, "out": "<dir>/name.npy", "latency_s": 1.23,
-             "shape": [B, H, W, 3]}
+             "shape": [n, H, W, 3], "batched_requests": 3}
   errors:   {"ok": false, "error": "..."}
 
-`prompt` may be one string (tiled over the batch) or `latent_shape[0]`
-strings (per-example prompts in one CFG batch).  `guidance_scale` is a
-traced scalar — changing it does NOT recompile.  Batch shape and DDIM step
-count are compile-time constants from the YAML (static shapes keep XLA's
-single compiled program; vary them per-config, not per-request).
+`prompt` may be one string or a list; `n` is the number of images the
+request wants (default: the full compiled batch for a single string —
+the reference semantics — or `len(prompt)` for a list).  The compiled
+batch shape and DDIM step count are compile-time constants from the YAML;
+everything else is traced per-slot, so NOTHING below recompiles:
+
+**Micro-batching.**  Requests asking for fewer than `latent_shape[0]`
+images are coalesced: the loop drains every request already buffered on
+the input (plus an optional `--batch_window_ms` wait on a live stdin),
+packs their slots into full compiled batches — per-slot prompt, per-slot
+negative prompt, and per-slot guidance scale (a traced [B,1,1,1] operand
+broadcast through the CFG mix) — and answers each request with its own
+slice, in request order.  Requests sharing one packed batch must share a
+`seed` (the PRNG key is per-pipeline-call), so slots are grouped by seed;
+a request larger than the compiled batch spans several calls.  Note
+images depend on slot placement: request R's pixels are reproducible for
+the same *request stream*, not in isolation (submit a full-batch request
+for composition-independent determinism).
 """
 
 from __future__ import annotations
@@ -33,24 +46,33 @@ import time
 import numpy as np
 from absl import app, flags
 
-from ldm_tf2_tpu.cli._flags import define_string
+from ldm_tf2_tpu.cli._flags import define_integer, define_string
 
 define_string("config_path", None, "Path to yaml config file.")
 define_string("output_dir", ".", "Directory for generated .npy images.")
+define_integer(
+    "batch_window_ms", 0,
+    "How long to wait for more stdin requests to micro-batch with the one "
+    "just received (0 = pack only what is already buffered).",
+)
 
 FLAGS = flags.FLAGS
 
 
 def build_server(config):
-    """Returns (handle_request, warmup): a request handler closure over one
-    jitted pipeline, and a warmup compile trigger."""
+    """Returns (run_batch, warmup, batch_size): a packed-slot batch runner
+    closure over one jitted pipeline, a warmup compile trigger, and the
+    compiled batch size."""
     import jax
     import jax.numpy as jnp
 
     from ldm_tf2_tpu import factory
     from ldm_tf2_tpu.checkpoints.manager import load_params
     from ldm_tf2_tpu.cli.run_ldm_sampler import tensor_to_image
-    from ldm_tf2_tpu.data.tokenizer import cfg_token_ids, load_tokenizer
+    from ldm_tf2_tpu.data.tokenizer import (
+        load_tokenizer,
+        packed_cfg_token_ids,
+    )
     from ldm_tf2_tpu.diffusion.sampler import (
         ddim_sample_loop,
         ddim_sample_loop_deepcache,
@@ -184,79 +206,196 @@ def build_server(config):
         params = jax.device_put(params)
     jitted = jax.jit(pipeline)
 
-    def run(prompt, seed, guidance_scale, negative_prompt=""):
+    def run_batch(prompts, negatives, guidances, seed):
+        """One compiled pipeline call on a packed slot batch: length-B
+        prompt/negative/guidance lists → uint8 [B, H, W, 3]."""
         token_ids = jnp.asarray(
-            cfg_token_ids(
-                tokenizer, prompt, shape[0], max_seq_len,
-                negative_prompt=negative_prompt,
-            )
+            packed_cfg_token_ids(tokenizer, prompts, negatives, max_seq_len)
+        )
+        guidance = jnp.asarray(
+            np.asarray(guidances, np.float32).reshape(shape[0], 1, 1, 1)
         )
         if data_parallel:
-            token_ids = shard_batch(token_ids, mesh)
+            token_ids, guidance = shard_batch((token_ids, guidance), mesh)
         out = jitted(
-            params,
-            token_ids,
-            jax.random.PRNGKey(int(seed)),
-            jnp.float32(guidance_scale),
+            params, token_ids, jax.random.PRNGKey(int(seed)), guidance
         )
         return tensor_to_image(np.asarray(out))
 
-    request_seq = itertools.count()
-
-    def handle_request(req: dict, output_dir: str) -> dict:
-        t0 = time.perf_counter()
-        prompt = req.get("prompt", sampling["text_prompt"])
-        images = run(
-            prompt,
-            req.get("seed", 0),
-            req.get("guidance_scale", sampling["guidance_scale"]),
-            negative_prompt=req.get(
-                "negative_prompt", sampling.get("negative_prompt", "")
-            ),
-        )
-        # default name: wall time + per-process counter (perf_counter has
-        # an arbitrary epoch and same-second requests would overwrite)
-        default = f"images_{int(time.time())}_{next(request_seq)}"
-        name = str(req.get("out", default)).replace("/", "_")
-        path = f"{output_dir}/{name}.npy"
-        np.save(path, images)
-        return {
-            "ok": True,
-            "out": path,
-            "latency_s": round(time.perf_counter() - t0, 4),
-            "shape": list(images.shape),
-        }
-
     def warmup():
         t0 = time.perf_counter()
-        run(sampling["text_prompt"], 0, sampling["guidance_scale"])
+        b = shape[0]
+        run_batch(
+            [sampling["text_prompt"]] * b,
+            [sampling.get("negative_prompt", "")] * b,
+            [sampling["guidance_scale"]] * b,
+            0,
+        )
         print(
             f"[serve] compiled + warm in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
 
-    return handle_request, warmup
+    return run_batch, warmup, shape[0]
 
 
-def serve(config, input_stream, output_stream, output_dir: str = "."):
-    """The request loop, separated from main() so tests can drive it with
-    in-memory streams."""
-    handle_request, warmup = build_server(config)
-    warmup()
-    print("[serve] ready", file=sys.stderr)
-    for line in input_stream:
+def _expand_request(req: dict, sampling: dict, batch_size: int) -> dict:
+    """Validate one request into a slot spec: n per-slot prompts + a
+    shared negative/guidance/seed."""
+    if not isinstance(req, dict):
+        raise ValueError(f"request must be a JSON object, got {req!r}")
+    prompt = req.get("prompt", sampling["text_prompt"])
+    if isinstance(prompt, str):
+        # single string: default n = full compiled batch (the reference
+        # semantics — one prompt tiled over the batch)
+        n = int(req.get("n", batch_size))
+        prompts = [prompt] * n
+    else:
+        prompts = [str(p) for p in prompt]
+        n = int(req.get("n", len(prompts)))
+        if n != len(prompts):
+            raise ValueError(
+                f'"n": {n} conflicts with a {len(prompts)}-prompt list'
+            )
+    if n < 1:
+        raise ValueError(f'"n" must be >= 1, got {n}')
+    return {
+        "prompts": prompts,
+        "negative": str(
+            req.get("negative_prompt", sampling.get("negative_prompt", ""))
+        ),
+        "guidance": float(
+            req.get("guidance_scale", sampling["guidance_scale"])
+        ),
+        "seed": int(req.get("seed", 0)),
+        "out": req.get("out"),
+    }
+
+
+def _read_wave(input_stream, window_s: float):
+    """Block for one request line, then drain everything else already
+    buffered (or arriving within ``window_s`` on a selectable stream).
+
+    Returns (lines, done): the raw lines of the wave, and whether the
+    stream hit EOF / an exit command (exit stops the drain; earlier lines
+    of the wave still run)."""
+    import select
+
+    def selectable():
+        try:
+            input_stream.fileno()
+            return True
+        except Exception:
+            return False  # in-memory stream: drain greedily to EOF
+
+    lines, done, block = [], False, True
+    is_pipe = selectable()
+    while True:
+        if not block and is_pipe:
+            ready, _, _ = select.select([input_stream], [], [], window_s)
+            if not ready:
+                break
+        line = input_stream.readline()
+        if not line:  # EOF
+            done = True
+            break
+        block = False
         line = line.strip()
         if not line:
             continue
         try:
             req = json.loads(line)
-            if req == "exit" or req.get("cmd") == "exit":
+            if req == "exit" or (isinstance(req, dict)
+                                 and req.get("cmd") == "exit"):
+                done = True
                 break
-            resp = handle_request(req, output_dir)
-        except Exception as e:  # serve loop must survive bad requests
-            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-        output_stream.write(json.dumps(resp) + "\n")
+        except Exception:
+            pass  # malformed line joins the wave; answered with an error
+        lines.append(line)
+    return lines, done
+
+
+def serve(config, input_stream, output_stream, output_dir: str = ".",
+          batch_window_ms: int = 0):
+    """The micro-batching request loop, separated from main() so tests can
+    drive it with in-memory streams.
+
+    Each wave of buffered requests is packed into full compiled batches
+    (slots grouped by seed — the PRNG key is per-call); responses are
+    written in request order."""
+    run_batch, warmup, batch_size = build_server(config)
+    sampling = config["ldm_sampling"]
+    warmup()
+    print("[serve] ready", file=sys.stderr)
+    request_seq = itertools.count()
+
+    while True:
+        wave, done = _read_wave(input_stream, batch_window_ms / 1000.0)
+        responses = [None] * len(wave)
+        specs = []  # (wave_index, spec)
+        for i, line in enumerate(wave):
+            try:
+                specs.append(
+                    (i, _expand_request(json.loads(line), sampling,
+                                        batch_size))
+                )
+            except Exception as e:
+                responses[i] = {
+                    "ok": False, "error": f"{type(e).__name__}: {e}"
+                }
+
+        # pack slots by seed: seed -> [(wave_index, slot_pos, prompt,
+        # negative, guidance)]
+        groups: dict = {}
+        results = {i: [None] * len(s["prompts"]) for i, s in specs}
+        for i, s in specs:
+            for j, p in enumerate(s["prompts"]):
+                groups.setdefault(s["seed"], []).append(
+                    (i, j, p, s["negative"], s["guidance"])
+                )
+        t0 = time.perf_counter()
+        try:
+            for seed, slots in groups.items():
+                for lo in range(0, len(slots), batch_size):
+                    chunk = slots[lo:lo + batch_size]
+                    pad = batch_size - len(chunk)
+                    chunk = chunk + [chunk[-1]] * pad  # pad slots discarded
+                    images = run_batch(
+                        [c[2] for c in chunk],
+                        [c[3] for c in chunk],
+                        [c[4] for c in chunk],
+                        seed,
+                    )
+                    for k, (i, j, *_rest) in enumerate(chunk[:len(chunk) - pad]):
+                        results[i][j] = images[k]
+        except Exception as e:
+            err = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            for i, _ in specs:
+                responses[i] = dict(err)
+        latency = round(time.perf_counter() - t0, 4)
+
+        for i, spec in specs:
+            if responses[i] is not None:
+                continue  # batch-level failure already recorded
+            images = np.stack(results[i])
+            # default name: wall time + per-process counter (perf_counter
+            # has an arbitrary epoch; same-second requests would overwrite)
+            default = f"images_{int(time.time())}_{next(request_seq)}"
+            name = str(spec["out"] or default).replace("/", "_")
+            path = f"{output_dir}/{name}.npy"
+            np.save(path, images)
+            responses[i] = {
+                "ok": True,
+                "out": path,
+                "latency_s": latency,
+                "shape": list(images.shape),
+                "batched_requests": len(specs),
+            }
+        for resp in responses:
+            output_stream.write(json.dumps(resp) + "\n")
         output_stream.flush()
+        if done:
+            break
 
 
 def main(_):
@@ -265,7 +404,8 @@ def main(_):
 
     maybe_initialize_distributed()
     config = load_config(FLAGS.config_path)
-    serve(config, sys.stdin, sys.stdout, FLAGS.output_dir)
+    serve(config, sys.stdin, sys.stdout, FLAGS.output_dir,
+          batch_window_ms=FLAGS.batch_window_ms)
 
 
 if __name__ == "__main__":

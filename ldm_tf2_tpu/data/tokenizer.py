@@ -58,6 +58,28 @@ def cfg_token_ids(
     return np.concatenate([np.tile(uncond, (batch_size, 1)), cond])
 
 
+def packed_cfg_token_ids(
+    tokenizer, prompts: list[str], negative_prompts: list[str],
+    max_length: int = 77,
+) -> np.ndarray:
+    """[2B, L] ids for a micro-batched CFG call: per-slot uncond rows
+    (one negative prompt PER slot, unlike :func:`cfg_token_ids`'s single
+    shared negative) followed by the per-slot cond rows.
+
+    Used by the serving loop (cli/serve_ldm.py) to pack several requests
+    — each with its own prompt/negative — into one compiled pipeline
+    call.  Beyond reference (the reference samples one prompt per run,
+    run_ldm_sampler.py:28-46)."""
+    if len(prompts) != len(negative_prompts):
+        raise ValueError(
+            f"{len(prompts)} prompts vs {len(negative_prompts)} negatives"
+        )
+    ids = tokenize_prompts(
+        tokenizer, list(negative_prompts) + list(prompts), max_length
+    )
+    return ids  # already [uncond rows; cond rows]
+
+
 def null_condition_ids(batch_size: int, max_length: int = 77) -> np.ndarray:
     """Tokenized "" = [CLS][SEP] pad ids, tiled over the batch
     (run_ldm_trainer.py:71-75)."""

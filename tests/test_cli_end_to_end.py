@@ -545,6 +545,82 @@ def test_serve_ldm_loop(workspace):
     assert not (root / "r3.npy").exists()
 
 
+def test_serve_ldm_microbatching(workspace):
+    """Micro-batching (cli/serve_ldm.py): several sub-batch requests are
+    packed into full compiled batches, grouped by seed, with per-slot
+    prompts and guidance scales; each request gets its own slice back.
+
+    Correctness anchor: slot rows are independent through the whole
+    pipeline (per-example attention/GN, row-wise matmuls), so a packed
+    call whose slots replicate a full-batch request — same seed, same
+    slot order — must reproduce that request's images exactly."""
+    import io
+
+    from ldm_tf2_tpu.cli.serve_ldm import serve
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    os.chdir(root)
+    cfg = load_config(config_path)
+    # wave (drained greedily from the in-memory stream):
+    #   uni  — full-batch request, uniform default guidance, seed 3
+    #   g1   — n=1 same prompt/seed/guidance  -> must equal uni[0]
+    #   g2   — n=1 same prompt/seed, guidance 2.0 -> packed beside g1
+    #   bad  — n=0 is invalid; error response, wave survives
+    requests = "\n".join(
+        [
+            '{"prompt": "guitar", "seed": 3, "out": "uni"}',
+            '{"prompt": "guitar", "n": 1, "seed": 3, "guidance_scale": 5.0,'
+            ' "out": "g1"}',
+            '{"prompt": "guitar", "n": 1, "seed": 3, "guidance_scale": 2.0,'
+            ' "out": "g2"}',
+            '{"prompt": "guitar", "n": 0}',
+        ]
+    )
+    out = io.StringIO()
+    serve(cfg, io.StringIO(requests), out, output_dir=str(root))
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(resps) == 4
+    assert resps[0]["ok"] and resps[1]["ok"] and resps[2]["ok"]
+    assert not resps[3]["ok"] and '"n"' in resps[3]["error"]
+    assert resps[0]["shape"] == [2, IMG, IMG, 3]
+    assert resps[1]["shape"] == [1, IMG, IMG, 3]
+    assert resps[1]["batched_requests"] == 3
+
+    uni = np.load(resps[0]["out"])
+    g1 = np.load(resps[1]["out"])
+    g2 = np.load(resps[2]["out"])
+    # seed-3 slots pack in request order: [uni0, uni1], [g1, g2] — two
+    # identical-seed calls; g1's slot replicates uni's slot 0 exactly
+    assert np.array_equal(g1[0], uni[0])
+    # different guidance in the same packed batch must change the image
+    assert not np.array_equal(g2[0], uni[1])
+
+
+def test_serve_ldm_microbatch_spanning(workspace):
+    """A request larger than the compiled batch spans several pipeline
+    calls; odd slot counts are padded (pad slots discarded)."""
+    import io
+
+    from ldm_tf2_tpu.cli.serve_ldm import serve
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    os.chdir(root)
+    cfg = load_config(config_path)
+    requests = "\n".join(
+        [
+            '{"prompt": ["a guitar", "an oil canvas", "a monster"],'
+            ' "seed": 7, "out": "span"}',
+        ]
+    )
+    out = io.StringIO()
+    serve(cfg, io.StringIO(requests), out, output_dir=str(root))
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(resps) == 1 and resps[0]["ok"]
+    assert resps[0]["shape"] == [3, IMG, IMG, 3]
+
+
 def test_serve_ldm_solver_and_default_names(workspace):
     """serve_ldm honors ldm_sampling.sampler (same selection as the
     sampler CLI) and default output names are unique per request

@@ -104,6 +104,49 @@ def measure_scale_factor():
     return scale
 
 
+def recon_grid():
+    """AE-reconstruction showcase: the reference's assets/original.png +
+    assets/recon.png pair (README.md:174-188, CelebAHQ recon eyeballing)
+    reproduced from our framework-trained autoencoder."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_tf2_tpu import factory
+    from ldm_tf2_tpu.checkpoints.manager import load_params
+    from ldm_tf2_tpu.cli.run_ldm_sampler import tensor_to_image
+    from ldm_tf2_tpu.configs import load_config
+    from ldm_tf2_tpu.data.indexed import create_indexed_dataset
+    from ldm_tf2_tpu.models import AutoencoderKL
+
+    config = load_config(CFG)
+    ae = factory.build_autoencoder(config, "kl")
+    ae_params = load_params(config["pre_ckpt_paths"]["autoencoder"])
+    files = sorted(glob.glob(os.path.join(DEMO, "data", "*.tfrecord")))
+    it = create_indexed_dataset(
+        files, batch_size=16, image_size=64, keys=("image",), num_workers=2
+    )
+    originals = jnp.asarray(next(it), jnp.float32)
+
+    def reconstruct(x):
+        posterior = ae.apply(
+            {"params": ae_params}, x, method=AutoencoderKL.encode
+        )
+        return ae.apply(
+            {"params": ae_params}, posterior.mode(),
+            method=AutoencoderKL.decode,
+        )
+
+    recon = jax.jit(reconstruct)(originals)
+    os.makedirs(os.path.join(REPO, "samples"), exist_ok=True)
+    for name, stack in (("original", originals), ("recon", recon)):
+        npy = os.path.join(DEMO, f"recon_{name}.npy")
+        np.save(npy, tensor_to_image(np.asarray(stack)))
+        run([sys.executable, "tools/make_sample_grid.py", npy,
+             os.path.join(REPO, "samples", f"demo_recon_{name}.png"), "4"])
+
+
 def sample_all():
     from ldm_tf2_tpu.configs import load_config
 
@@ -166,6 +209,7 @@ def main(argv):
              "--config_path", CFG, "--which", "autoencoder",
              "--out_dir", os.path.join(DEMO, "artifacts")])
     measure_scale_factor()
+    recon_grid()
     if "--skip-ldm" not in argv:
         run([sys.executable, "-m", "ldm_tf2_tpu.cli.run_ldm_trainer",
              "--config_path", CFG_PATCHED])

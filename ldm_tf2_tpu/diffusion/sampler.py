@@ -65,7 +65,11 @@ def ddim_step(
     eps_uncond, eps = jnp.split(
         eps_model(jnp.concatenate([xt, xt], axis=0), t, cond), 2, axis=0
     )
-    eps = eps_uncond + guidance_scale * (eps - eps_uncond)
+    # asarray(., eps.dtype): a *traced* guidance operand (serve_ldm's
+    # per-slot [B,1,1,1] array) is float32 and would otherwise upcast the
+    # bf16 eps — breaking the scan-carry dtype under compute_dtype bf16.
+    scale = jnp.asarray(guidance_scale, dtype=eps.dtype)
+    eps = eps_uncond + scale * (eps - eps_uncond)
     return ddim_update(schedule, xt, eps, index, key, clip_denoised)
 
 
@@ -191,7 +195,8 @@ def ddim_sample_loop_deepcache(
 
     def cfg(eps2):
         eps_uncond, eps = jnp.split(eps2, 2, axis=0)
-        return eps_uncond + guidance_scale * (eps - eps_uncond)
+        scale = jnp.asarray(guidance_scale, dtype=eps.dtype)
+        return eps_uncond + scale * (eps - eps_uncond)
 
     def full_step(xt, index, step_key):
         t = jnp.full((xt.shape[0] * 2,), ddim_steps[index], jnp.float32)
@@ -328,7 +333,9 @@ def ddim_img2img_loop(
                 jnp.sqrt(acp_prev) * init_latent.astype(sample.dtype)
                 + jnp.sqrt(jnp.maximum(1.0 - acp_prev, 0.0)) * keep_noise
             )
-            sample = mask * sample + (1.0 - mask) * keep
+            # cast: an f32 mask must not upcast a bf16 scan carry
+            m = mask.astype(sample.dtype)
+            sample = m * sample + (1.0 - m) * keep
         return (sample, key), None
 
     (x0, _), _ = jax.lax.scan(
@@ -337,7 +344,8 @@ def ddim_img2img_loop(
     if mask is not None:
         # Terminal exactness: the kept region is the init latent itself
         # (the loop leaves it at the acp_prev[0] ~ 1 noise level).
-        x0 = mask * x0 + (1.0 - mask) * init_latent.astype(x0.dtype)
+        m = mask.astype(x0.dtype)
+        x0 = m * x0 + (1.0 - m) * init_latent.astype(x0.dtype)
     return x0
 
 
@@ -416,7 +424,8 @@ def ddpm_step(
     eps_uncond, eps = jnp.split(
         eps_model(jnp.concatenate([xt, xt], axis=0), t_vec, cond), 2, axis=0
     )
-    eps = eps_uncond + guidance_scale * (eps - eps_uncond)
+    scale = jnp.asarray(guidance_scale, dtype=eps.dtype)
+    eps = eps_uncond + scale * (eps - eps_uncond)
 
     take = lambda tbl: jnp.take(jnp.asarray(tbl), t).astype(xt.dtype)
     pred_x0 = (

@@ -37,7 +37,10 @@ def _cfg_eps(eps_model, schedule, xt, cond, index, guidance_scale):
     eps_uncond, eps = jnp.split(
         eps_model(jnp.concatenate([xt, xt], axis=0), t, cond), 2, axis=0
     )
-    return eps_uncond + guidance_scale * (eps - eps_uncond)
+    # Cast so a traced guidance operand (serve_ldm per-slot array, f32)
+    # cannot upcast the bf16 eps and break the scan-carry dtype.
+    scale = jnp.asarray(guidance_scale, dtype=eps.dtype)
+    return eps_uncond + scale * (eps - eps_uncond)
 
 
 def _ddim_update(schedule, xt, eps, index, clip_denoised):

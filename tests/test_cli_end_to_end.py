@@ -837,3 +837,27 @@ def test_ldm_trainer_cli_deterministic_data_and_ema(workspace):
     )
     images = np.load(root / "images.npy")
     assert images.shape == (2, IMG, IMG, 3)
+
+
+def test_serve_ldm_bf16_compute(workspace):
+    """serve_ldm under tpu.compute_dtype bfloat16: the per-slot traced
+    guidance operand is f32 and must not upcast the bf16 scan carry
+    (regression — the demo model's corpus eval crashed every bf16 serve,
+    diffusion/sampler.py CFG cast)."""
+    import io
+
+    from ldm_tf2_tpu.cli.serve_ldm import serve
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    os.chdir(root)
+    cfg = load_config(config_path)
+    cfg["tpu"]["compute_dtype"] = "bfloat16"
+    requests = '{"prompt": "a virus monster", "seed": 1, "out": "bf16"}\n'
+    out = io.StringIO()
+    serve(cfg, io.StringIO(requests), out, output_dir=str(root))
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(resps) == 1 and resps[0]["ok"], resps
+    images = np.load(resps[0]["out"])
+    assert images.shape == (2, IMG, IMG, 3)
+    assert images.dtype == np.uint8

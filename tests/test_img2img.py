@@ -136,3 +136,27 @@ def test_invalid_strength_raises():
             eps_model, schedule, context, init_latent,
             jax.random.PRNGKey(0), strength=1.5,
         )
+
+
+def test_img2img_bf16_carry_with_f32_mask():
+    """An f32 latent mask must not upcast a bf16 scan carry (same
+    regression class as the serve guidance operand: the mask blend runs
+    inside the scan body under compute_dtype bfloat16)."""
+    schedule, context, init_latent, eps_model, _ = _setup()
+    context = context.astype(jnp.bfloat16)
+    init_latent = init_latent.astype(jnp.bfloat16)
+    mask = jnp.zeros(init_latent.shape[:3] + (1,), jnp.float32).at[
+        :, :4
+    ].set(1.0)  # f32 on purpose
+    x0 = jax.jit(
+        lambda lat, m: ddim_img2img_loop(
+            eps_model, schedule, context, lat, jax.random.PRNGKey(0),
+            strength=0.5, guidance_scale=2.0, mask=m,
+        )
+    )(init_latent, mask)
+    assert x0.dtype == jnp.bfloat16
+    # kept region is the init latent exactly
+    np.testing.assert_array_equal(
+        np.asarray(x0[:, 4:], np.float32),
+        np.asarray(init_latent[:, 4:], np.float32),
+    )

@@ -103,3 +103,47 @@ def test_ddpm_loop_runs():
     )
     assert x0.shape == shape
     assert np.all(np.isfinite(x0))
+
+
+def test_traced_guidance_array_keeps_bf16_carry():
+    """serve_ldm passes guidance as a traced f32 [B,1,1,1] operand; the CFG
+    mix must not upcast bf16 latents (regression: scan carry dtype mismatch
+    under compute_dtype bfloat16 — caught by the corpus eval's bf16 serve
+    run, tools/eval_corpus_quality.py)."""
+    from ldm_tf2_tpu.diffusion.sampler import ddim_sample_loop_deepcache
+    from ldm_tf2_tpu.diffusion.solvers import (
+        dpm_solver_pp_2m_sample_loop,
+        plms_sample_loop,
+    )
+
+    schedule = make_schedule(num_steps=10, num_ddim_steps=5)
+    shape = (2, 4, 4, 2)
+    context = jnp.zeros((4, 7, 8), jnp.bfloat16)
+    guidance = jnp.full((2, 1, 1, 1), 5.0, jnp.float32)  # traced, f32
+
+    def eps_model(x2, t, cond):
+        return x2 * jnp.bfloat16(0.01)
+
+    loops = [ddim_sample_loop, plms_sample_loop, dpm_solver_pp_2m_sample_loop]
+    for loop in loops:
+        x0 = jax.jit(
+            lambda g, loop=loop: loop(
+                eps_model, schedule, context, shape, jax.random.PRNGKey(0), g
+            )
+        )(guidance)
+        assert x0.dtype == jnp.bfloat16, loop.__name__
+        assert np.all(np.isfinite(np.asarray(x0, np.float32)))
+
+    def eps_full(x2, t, cond):
+        return eps_model(x2, t, cond), x2[:, :2]
+
+    def eps_shallow(x2, t, cond, cache):
+        return eps_model(x2, t, cond)
+
+    x0 = jax.jit(
+        lambda g: ddim_sample_loop_deepcache(
+            eps_full, eps_shallow, schedule, context, shape,
+            jax.random.PRNGKey(0), g, cache_interval=2,
+        )
+    )(guidance)
+    assert x0.dtype == jnp.bfloat16

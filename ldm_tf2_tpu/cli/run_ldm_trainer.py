@@ -164,7 +164,23 @@ def main(_):
                 method=AutoencoderVQ.encode,
             )
 
-    optimizer = make_optimizer(**config["latent_diffusion_optimizer"])
+    # Additive config key (beyond reference): ldm_training.grad_accum_steps
+    # averages gradients over N micro-batch steps before each AdamW update
+    # (optax.MultiSteps) — effective batch = batch_size * |data| * N at one
+    # micro-batch's activation footprint.  num_iterations / logging /
+    # checkpoint cadence all count micro-batches; the accumulator is part
+    # of the checkpointed optimizer state, so mid-accumulation resume is
+    # exact.
+    grad_accum_steps = int(training.get("grad_accum_steps", 1))
+    optimizer = make_optimizer(
+        **config["latent_diffusion_optimizer"], accum_steps=grad_accum_steps
+    )
+    if grad_accum_steps > 1:
+        print(
+            f"[INFO] Gradient accumulation over {grad_accum_steps} "
+            f"micro-batches (effective global batch "
+            f"{batch_size * grad_accum_steps})."
+        )
     null_ids = jnp.asarray(
         null_condition_ids(1, config["cond_stage_model"]["max_seq_len"])[0]
     )

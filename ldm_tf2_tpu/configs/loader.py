@@ -117,6 +117,15 @@ def load_config(path: str) -> dict:
             "ldm_sampling.mask_path requires ldm_sampling.init_image_path"
         )
 
+    # Additive trainer key (training/ldm_trainer.py make_optimizer):
+    # average gradients over N micro-batches per AdamW update.
+    accum = config.get("ldm_training", {}).get("grad_accum_steps", 1)
+    if not isinstance(accum, int) or accum < 1:
+        raise ValueError(
+            f"ldm_training.grad_accum_steps must be an int >= 1, got "
+            f"{accum!r}"
+        )
+
     tpu = dict(_TPU_DEFAULTS)
     tpu.update(config.get("tpu") or {})
     if tpu["compute_dtype"] not in _DTYPES:

@@ -61,6 +61,7 @@ def make_optimizer(
     end_learning_rate_factor: float = 0.1,
     clip_grad_norm: float | None = None,
     mu_dtype: str | None = None,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW matching the reference's latent_diffusion_optimizer section
     (all_in_one_config.yaml:125-130), with additive (beyond-reference)
@@ -71,7 +72,15 @@ def make_optimizer(
     mu_dtype="bfloat16" stores the Adam first moment in bf16 — frees
     1.75 GB of HBM on the 0.87B U-Net (the 256^2 batch-32 train step
     misses fitting by ~0.2 GB with f32 moments).  f32 masters and the
-    f32 second moment are untouched."""
+    f32 second moment are untouched.
+
+    accum_steps > 1 wraps the whole chain in ``optax.MultiSteps``:
+    gradients from that many consecutive micro-batch steps are averaged
+    before one AdamW update (clipping, when enabled, applies to the
+    averaged gradient) — effective batch = batch_size * accum_steps at
+    the HBM footprint of one micro-batch plus one f32 gradient
+    accumulator.  The accumulator lives in the optimizer state, so
+    checkpoints taken mid-accumulation resume exactly."""
     if decay_steps:
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0,
@@ -100,6 +109,10 @@ def make_optimizer(
     )
     if clip_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
+    if not isinstance(accum_steps, int) or accum_steps < 1:
+        raise ValueError(f"accum_steps must be an int >= 1, got {accum_steps!r}")
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
 
 
@@ -269,6 +282,18 @@ def make_ldm_train_step(
                 state.ema_params,
                 new_trainable,
             )
+            # Under gradient accumulation (optax.MultiSteps), params only
+            # move on sync steps (mini_step wraps to 0); folding the EMA on
+            # the no-op micro-steps would silently raise the effective decay
+            # rate by accum_steps x.  Gate the fold on the sync boundary.
+            mini_step = getattr(opt_state, "mini_step", None)
+            if mini_step is not None:
+                applied = mini_step == 0
+                ema_params = jax.tree.map(
+                    lambda mixed, old: jnp.where(applied, mixed, old),
+                    ema_params,
+                    state.ema_params,
+                )
 
         new_state = state.replace(
             step=state.step + 1,

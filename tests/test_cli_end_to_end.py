@@ -805,6 +805,9 @@ def test_ldm_trainer_cli_deterministic_data_and_ema(workspace):
     cfg["tpu"]["deterministic_data"] = True
     cfg["tpu"]["frozen_weights_dtype"] = "bfloat16"
     cfg["ldm_training"]["ema_decay"] = 0.99
+    # gradient accumulation: MultiSteps state (incl. the accumulator)
+    # must survive the Orbax checkpoint round-trip
+    cfg["ldm_training"]["grad_accum_steps"] = 2
     cfg["ldm_training"]["root_path"] = str(big_dir)
     cfg["ldm_training"]["ckpt_path"] = str(root / "ldm_det")
     path = str(root / "config_det.yaml")

@@ -444,3 +444,79 @@ def test_ldm_train_step_encode_chunks(tiny_ldm):
     state2 = init_ldm_train_state(unet_params, cond_params, optimizer)
     with pytest.raises(ValueError, match="encode_chunks"):
         step_fn(state2, ae_params, images[:3], ids[:3], jax.random.PRNGKey(0))
+
+
+def test_optimizer_grad_accumulation_equivalence():
+    """make_optimizer(accum_steps=k): k micro-batch updates apply ONE AdamW
+    update on the mean gradient — exactly equal to the unwrapped optimizer
+    fed that mean, with params frozen in between (optax.MultiSteps)."""
+    import optax
+
+    params = {"w": jnp.array([1.0, -2.0, 3.0])}
+    grads = [
+        {"w": jnp.array([0.3, -0.1, 0.2])},
+        {"w": jnp.array([-0.1, 0.5, 0.0])},
+        {"w": jnp.array([0.2, 0.2, -0.4])},
+    ]
+    mean_grad = jax.tree.map(
+        lambda *gs: sum(gs) / len(gs), *grads
+    )
+
+    acc = make_optimizer(learning_rate=1e-2, accum_steps=3)
+    acc_state = acc.init(params)
+    p = params
+    mids = []
+    for g in grads:
+        updates, acc_state = acc.update(g, acc_state, p)
+        p = optax.apply_updates(p, updates)
+        mids.append(p)
+    # params frozen on the two accumulation-only micro-steps
+    np.testing.assert_array_equal(mids[0]["w"], params["w"])
+    np.testing.assert_array_equal(mids[1]["w"], params["w"])
+
+    ref = make_optimizer(learning_rate=1e-2)
+    ref_state = ref.init(params)
+    updates, _ = ref.update(mean_grad, ref_state, params)
+    expected = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(p["w"], expected["w"], rtol=1e-6)
+
+    with pytest.raises(ValueError, match="accum_steps"):
+        make_optimizer(accum_steps=0)
+
+
+def test_ldm_train_step_grad_accumulation(tiny_ldm):
+    """The fused train step under accum_steps=2: params (and the EMA, which
+    must not fold on the no-op micro-steps) move only on every second
+    micro-batch; the step counter still counts micro-batches."""
+    _, _, _, unet_params, cond_params, ae_params = tiny_ldm
+    schedule = make_schedule(num_steps=100, num_ddim_steps=10)
+    decay = 0.9
+    optimizer = make_optimizer(learning_rate=1e-3, accum_steps=2)
+    step_fn = jax.jit(
+        build_step(tiny_ldm, schedule, optimizer, ema_decay=decay)
+    )
+    state = init_ldm_train_state(
+        unet_params, cond_params, optimizer, ema_decay=decay
+    )
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, IMG, IMG, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 64)
+    leaf = lambda t: np.asarray(jax.tree.leaves(t)[0])
+
+    state1, m1 = step_fn(state, ae_params, images, ids, jax.random.PRNGKey(0))
+    # micro-step 1: accumulate only — live params AND ema untouched
+    np.testing.assert_array_equal(leaf(state1.unet_params), leaf(unet_params))
+    np.testing.assert_array_equal(
+        leaf(state1.ema_params["unet"]), leaf(unet_params)
+    )
+    assert np.isfinite(float(m1["loss"]))
+
+    state2, _ = step_fn(state1, ae_params, images, ids, jax.random.PRNGKey(0))
+    # micro-step 2: sync — params move, ema folds exactly once
+    assert not np.allclose(leaf(state2.unet_params), leaf(unet_params))
+    expected_ema = decay * leaf(unet_params) + (1 - decay) * leaf(
+        state2.unet_params
+    )
+    np.testing.assert_allclose(
+        leaf(state2.ema_params["unet"]), expected_ema, rtol=1e-6, atol=1e-7
+    )
+    assert int(state2.step) == 2

@@ -100,6 +100,12 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
     # every N steps, shallow levels only in between (opt-in quality
     # trade-off, ldm_sampling.cache_interval).
     cache_interval = int(os.environ.get("LDM_BENCH_DEEPCACHE", "1"))
+    # LDM_BENCH_SAMPLER=dpm|plms: few-step higher-order solvers
+    # (diffusion/solvers.py; ldm_sampling.sampler) — combine with
+    # LDM_BENCH_STEPS to measure e.g. the dpm-20 serving row.
+    sampler_name = os.environ.get("LDM_BENCH_SAMPLER", "ddim")
+    if sampler_name != "ddim" and cache_interval > 1:
+        raise ValueError("LDM_BENCH_DEEPCACHE requires the ddim sampler")
 
     # LDM_BENCH_INT8=1: W8A8 int8 U-Net ResBlock convs (tpu.quantize: int8,
     # ops/quant_conv.py) — opt-in serving mode, ~2x MXU rate on the conv
@@ -136,10 +142,20 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
                 cache_interval=cache_interval,
             )
         else:
+            from ldm_tf2_tpu.diffusion.solvers import (
+                dpm_solver_pp_2m_sample_loop,
+                plms_sample_loop,
+            )
+
+            loop = {
+                "ddim": ddim_sample_loop,
+                "dpm": dpm_solver_pp_2m_sample_loop,
+                "plms": plms_sample_loop,
+            }[sampler_name]
             eps_model = lambda x, t, c: unet.apply(
                 {"params": unet_p}, x, t, c
             )
-            x0 = ddim_sample_loop(
+            x0 = loop(
                 eps_model,
                 schedule,
                 context,
@@ -187,16 +203,18 @@ def main():
     batch = int(os.environ.get(
         "LDM_BENCH_BATCH", "4" if ultra else ("16" if highres else "24")
     ))
+    default_steps = 50 if (ultra or not highres) else 200
+    steps = int(os.environ.get("LDM_BENCH_STEPS", str(default_steps)))
     if ultra:
         pipeline, params, token_ids = build_pipeline(
-            batch=batch, latent=128, steps=50
+            batch=batch, latent=128, steps=steps
         )
     elif highres:
         pipeline, params, token_ids = build_pipeline(
-            batch=batch, latent=64, steps=200
+            batch=batch, latent=64, steps=steps
         )
     else:
-        pipeline, params, token_ids = build_pipeline(batch=batch)
+        pipeline, params, token_ids = build_pipeline(batch=batch, steps=steps)
     key = jax.random.PRNGKey(42)
 
     def run(k):
@@ -237,8 +255,9 @@ def main():
 
     images_per_sec = batch * runs / elapsed
     p50_latency = elapsed / (batch * runs)
-    size = ("1024x1024 50-step" if ultra
-            else "512x512 200-step" if highres else "256x256 50-step")
+    res = "1024x1024" if ultra else "512x512" if highres else "256x256"
+    sampler = os.environ.get("LDM_BENCH_SAMPLER", "ddim").upper()
+    size = f"{res} {steps}-step {sampler}"
     # The CPU baseline was measured for the 256^2/50-step config; for the
     # highres mode, extrapolate it by FLOP ratio (4x spatial work per step
     # in the conv-dominated U-Net x 4x the steps = 16x slower; ultra:
@@ -247,7 +266,7 @@ def main():
         16.0 if (highres or ultra) else 1.0
     )
     result = {
-        "metric": f"images/sec/chip, {size} DDIM txt2img (CFG, batch {batch})",
+        "metric": f"images/sec/chip, {size} txt2img (CFG, batch {batch})",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / baseline, 2),

@@ -104,8 +104,10 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
     # (diffusion/solvers.py; ldm_sampling.sampler) — combine with
     # LDM_BENCH_STEPS to measure e.g. the dpm-20 serving row.
     sampler_name = os.environ.get("LDM_BENCH_SAMPLER", "ddim")
-    if sampler_name != "ddim" and cache_interval > 1:
-        raise ValueError("LDM_BENCH_DEEPCACHE requires the ddim sampler")
+    if sampler_name not in ("ddim", "dpm") and cache_interval > 1:
+        raise ValueError(
+            "LDM_BENCH_DEEPCACHE requires the ddim or dpm sampler"
+        )
 
     # LDM_BENCH_INT8=1: W8A8 int8 U-Net ResBlock convs (tpu.quantize: int8,
     # ops/quant_conv.py) — opt-in serving mode, ~2x MXU rate on the conv
@@ -125,13 +127,22 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
         unet_p, cond_p, ae_p = params
         context = cond.apply({"params": cond_p}, token_ids)
         if cache_interval > 1:
+            from ldm_tf2_tpu.diffusion.solvers import (
+                dpm_solver_pp_2m_sample_loop_deepcache,
+            )
+
             eps_full = lambda x, t, c: unet.apply(
                 {"params": unet_p}, x, t, c, return_cache=True
             )
             eps_shallow = lambda x, t, c, cache: unet.apply(
                 {"params": unet_p}, x, t, c, shallow_cache=cache
             )
-            x0 = ddim_sample_loop_deepcache(
+            cache_loop = (
+                ddim_sample_loop_deepcache
+                if sampler_name == "ddim"
+                else dpm_solver_pp_2m_sample_loop_deepcache
+            )
+            x0 = cache_loop(
                 eps_full,
                 eps_shallow,
                 schedule,

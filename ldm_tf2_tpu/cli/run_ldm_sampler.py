@@ -50,6 +50,7 @@ def main(_):
     )
     from ldm_tf2_tpu.diffusion.solvers import (
         dpm_solver_pp_2m_sample_loop,
+        dpm_solver_pp_2m_sample_loop_deepcache,
         plms_sample_loop,
     )
     from ldm_tf2_tpu.models import AutoencoderKL, AutoencoderVQ
@@ -241,6 +242,15 @@ def main(_):
             return decode(ae_p, x0)
 
     elif cache_interval > 1:
+        # DeepCache composes with DDIM and with DPM-Solver++(2M)
+        # (diffusion/solvers.py dpm_solver_pp_2m_sample_loop_deepcache —
+        # fewer U-Net evals x cheaper evals); loader validation rejects
+        # other samplers.
+        cache_loop = (
+            ddim_sample_loop_deepcache
+            if sampler_name == "ddim"
+            else dpm_solver_pp_2m_sample_loop_deepcache
+        )
 
         def pipeline(params, token_ids, key):
             cond_p, unet_p, ae_p = params
@@ -253,7 +263,7 @@ def main(_):
                 {"params": unet_p}, x, t, c,
                 shallow_cache=cache, cache_levels=cache_levels,
             )
-            x0 = ddim_sample_loop_deepcache(
+            x0 = cache_loop(
                 eps_full, eps_shallow, schedule, context, shape, key,
                 guidance_scale, cache_interval=cache_interval,
             )

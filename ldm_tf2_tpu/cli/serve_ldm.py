@@ -80,6 +80,7 @@ def build_server(config):
     )
     from ldm_tf2_tpu.diffusion.solvers import (
         dpm_solver_pp_2m_sample_loop,
+        dpm_solver_pp_2m_sample_loop_deepcache,
         plms_sample_loop,
     )
     from ldm_tf2_tpu.models import AutoencoderKL, AutoencoderVQ
@@ -139,12 +140,19 @@ def build_server(config):
             f"ldm_sampling.sampler must be one of {sorted(sample_loops)}, "
             f"got {sampler_name!r}"
         )
-    if cache_interval > 1 and sampler_name != "ddim":
+    if cache_interval > 1 and sampler_name not in (
+        "ddim", "dpm_solver_pp_2m",
+    ):
         raise ValueError(
-            "ldm_sampling.cache_interval > 1 requires sampler: ddim, got "
-            f"{sampler_name!r}"
+            "ldm_sampling.cache_interval > 1 requires sampler: ddim or "
+            f"dpm_solver_pp_2m, got {sampler_name!r}"
         )
     sample_loop = sample_loops[sampler_name]
+    cache_loop = (
+        ddim_sample_loop_deepcache
+        if sampler_name == "ddim"
+        else dpm_solver_pp_2m_sample_loop_deepcache
+    )
 
     if config["tpu"]["quantize"] == "int8":
         from ldm_tf2_tpu.ops.quant_conv import set_conv_quant
@@ -163,7 +171,7 @@ def build_server(config):
         cond_p, unet_p, ae_p = params
         context = cond_model.apply({"params": cond_p}, token_ids)
         if cache_interval > 1:
-            x0 = ddim_sample_loop_deepcache(
+            x0 = cache_loop(
                 lambda x, t, c: unet.apply(
                     {"params": unet_p}, x, t, c,
                     return_cache=True, cache_levels=cache_levels,

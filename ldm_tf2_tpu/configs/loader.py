@@ -102,10 +102,12 @@ def load_config(path: str) -> dict:
             "ldm_sampling.cache_levels must be an int >= 1, got "
             f"{cache_levels!r}"
         )
-    if cache_interval > 1 and sampling.get("sampler", "ddim") != "ddim":
+    if cache_interval > 1 and sampling.get("sampler", "ddim") not in (
+        "ddim", "dpm_solver_pp_2m",
+    ):
         raise ValueError(
-            "ldm_sampling.cache_interval > 1 requires sampler: ddim, got "
-            f"{sampling.get('sampler')!r}"
+            "ldm_sampling.cache_interval > 1 requires sampler: ddim or "
+            f"dpm_solver_pp_2m, got {sampling.get('sampler')!r}"
         )
     strength = sampling.get("strength", 0.75)
     if not isinstance(strength, (int, float)) or not 0.0 <= strength <= 1.0:

@@ -173,3 +173,104 @@ def dpm_solver_pp_2m_sample_loop(
         jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32),
     )
     return x0
+
+
+def dpm_solver_pp_2m_sample_loop_deepcache(
+    eps_model_full,
+    eps_model_shallow,
+    schedule: DiffusionSchedule,
+    context: jnp.ndarray,
+    shape: tuple[int, ...],
+    key: jax.Array,
+    guidance_scale: float = 5.0,
+    cache_interval: int = 2,
+    clip_denoised: bool = False,
+    init_noise: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """DPM-Solver++(2M) with DeepCache deep-feature reuse — the two
+    fastest serving mechanisms composed: the solver cuts the *number* of
+    U-Net evaluations (e.g. 20 instead of 50 DDIM steps), DeepCache cuts
+    the *cost* of ``cache_interval - 1`` of every ``cache_interval`` of
+    them (full U-Net at the group base, shallow levels against the cached
+    deep boundary feature in between — models/unet.py shallow_cache).
+
+    Same group/scan skeleton as ``sampler.ddim_sample_loop_deepcache`` but
+    with the deterministic DPM-Solver++ multistep transition (the
+    (x0_last, h_last) history threads through full and shallow steps
+    alike), so no per-step PRNG keys are consumed.  ``cache_interval=1``
+    is exactly ``dpm_solver_pp_2m_sample_loop``.
+
+    Args:
+      eps_model_full: (xt2 [2B], t [2B], context) -> (eps [2B], cache).
+      eps_model_shallow: (xt2, t, context, cache) -> eps.
+    """
+    num_steps = len(schedule.ddim_steps)
+    interval = max(int(cache_interval), 1)
+    if init_noise is None:
+        xt = jax.random.normal(key, shape, dtype=context.dtype)
+    else:
+        xt = init_noise
+    ddim_steps = jnp.asarray(schedule.ddim_steps)
+
+    acp = jnp.asarray(schedule.ddim_alphas_cumprod, jnp.float32)
+    acp_prev = jnp.asarray(schedule.ddim_alphas_cumprod_prev, jnp.float32)
+    alpha, sigma = jnp.sqrt(acp), jnp.sqrt(1.0 - acp)
+    alpha_p, sigma_p = jnp.sqrt(acp_prev), jnp.sqrt(1.0 - acp_prev)
+    lam = jnp.log(alpha / sigma)
+    lam_p = jnp.log(alpha_p / sigma_p)
+
+    def cfg(eps2):
+        eps_uncond, eps = jnp.split(eps2, 2, axis=0)
+        scale = jnp.asarray(guidance_scale, dtype=eps.dtype)
+        return eps_uncond + scale * (eps - eps_uncond)
+
+    def update(carry, index, e):
+        """The dpm_solver_pp_2m_sample_loop transition with a given eps."""
+        xt, x0_last, h_last, count = carry
+        a_i = alpha[index].astype(xt.dtype)
+        s_i = sigma[index].astype(xt.dtype)
+        x0 = (xt - s_i * e) / a_i
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        h = lam_p[index] - lam[index]
+        r = h_last / h
+        coef = 1.0 / (2.0 * r)
+        d_multistep = (1.0 + coef).astype(xt.dtype) * x0 - coef.astype(
+            xt.dtype
+        ) * x0_last
+        d = jnp.where(count == 0, x0, d_multistep)
+        x_next = (
+            (sigma_p[index] / sigma[index]).astype(xt.dtype) * xt
+            - (alpha_p[index] * jnp.expm1(-h)).astype(xt.dtype) * d
+        )
+        return (x_next, x0, h, count + 1)
+
+    def t_of(carry, index):
+        return jnp.full((carry[0].shape[0] * 2,), ddim_steps[index],
+                        jnp.float32)
+
+    def group(carry, base_index, n_steps):
+        xt2 = jnp.concatenate([carry[0], carry[0]], axis=0)
+        eps2, cache = eps_model_full(xt2, t_of(carry, base_index), context)
+        carry = update(carry, base_index, cfg(eps2))
+        for j in range(1, n_steps):
+            index = base_index - j
+            xt2 = jnp.concatenate([carry[0], carry[0]], axis=0)
+            eps2 = eps_model_shallow(xt2, t_of(carry, index), context, cache)
+            carry = update(carry, index, cfg(eps2))
+        return carry
+
+    num_groups, tail = divmod(num_steps, interval)
+    carry0 = (xt, jnp.zeros(shape, context.dtype), jnp.float32(1.0),
+              jnp.int32(0))
+
+    def body(carry, g):
+        base = num_steps - 1 - g * interval
+        return group(carry, base, interval), None
+
+    carry, _ = jax.lax.scan(
+        body, carry0, jnp.arange(num_groups, dtype=jnp.int32)
+    )
+    if tail:
+        carry = group(carry, jnp.int32(tail - 1), tail)
+    return carry[0]

@@ -422,9 +422,12 @@ def test_ae_trainer_cli(workspace):
     assert (root / "aekl").exists()
 
 
-def test_sampler_cli_deepcache(workspace):
-    """ldm_sampling.cache_interval > 1 routes through the DeepCache loop
-    (diffusion/sampler.py ddim_sample_loop_deepcache)."""
+@pytest.mark.parametrize("sampler", ["ddim", "dpm_solver_pp_2m"])
+def test_sampler_cli_deepcache(workspace, sampler):
+    """ldm_sampling.cache_interval > 1 routes through the DeepCache loop —
+    composed with DDIM (diffusion/sampler.py ddim_sample_loop_deepcache)
+    or with DPM-Solver++(2M)
+    (diffusion/solvers.py dpm_solver_pp_2m_sample_loop_deepcache)."""
     from ldm_tf2_tpu.cli import run_ldm_sampler
 
     root, config_path = workspace
@@ -432,7 +435,8 @@ def test_sampler_cli_deepcache(workspace):
     with open(config_path) as f:
         cfg = yaml.safe_load(f)
     cfg["ldm_sampling"]["cache_interval"] = 2
-    path = str(root / "config_deepcache.yaml")
+    cfg["ldm_sampling"]["sampler"] = sampler
+    path = str(root / f"config_deepcache_{sampler}.yaml")
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
     _run_cli(run_ldm_sampler, ["run_ldm_sampler", f"--config_path={path}"])

@@ -172,3 +172,69 @@ def test_interval_gt_one_tracks_exact_loop(interval):
     err = float(jnp.sqrt(jnp.mean((cached - exact) ** 2)))
     scale = float(jnp.sqrt(jnp.mean(exact**2)))
     assert err < 0.5 * scale, (err, scale)
+
+
+@pytest.mark.parametrize("num_ddim_steps", [6, 7])
+def test_dpm_deepcache_interval_one_equals_exact_loop(num_ddim_steps):
+    """DeepCache composed with DPM-Solver++(2M)
+    (diffusion/solvers.py dpm_solver_pp_2m_sample_loop_deepcache):
+    interval 1 is exactly the plain dpm loop."""
+    from ldm_tf2_tpu.diffusion.solvers import (
+        dpm_solver_pp_2m_sample_loop,
+        dpm_solver_pp_2m_sample_loop_deepcache,
+    )
+
+    unet = _tiny_unet()
+    x, t, ctx = _inputs()
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    eps_full, eps_shallow, eps_plain = _eps_models(unet, params)
+    schedule = make_schedule(
+        beta_start=0.00085, beta_end=0.012, num_ddim_steps=num_ddim_steps
+    )
+    context = jnp.concatenate([ctx, ctx], axis=0)
+    key = jax.random.PRNGKey(3)
+    shape = (2, 16, 16, 4)
+
+    exact = dpm_solver_pp_2m_sample_loop(
+        eps_plain, schedule, context, shape, key, guidance_scale=3.0
+    )
+    cached = dpm_solver_pp_2m_sample_loop_deepcache(
+        eps_full, eps_shallow, schedule, context, shape, key,
+        guidance_scale=3.0, cache_interval=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cached), np.asarray(exact), rtol=0, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("interval", [2, 3])
+def test_dpm_deepcache_interval_gt_one_tracks_exact_loop(interval):
+    """Composed quality contract: cached dpm trajectory stays much closer
+    to the exact dpm trajectory than the signal scale."""
+    from ldm_tf2_tpu.diffusion.solvers import (
+        dpm_solver_pp_2m_sample_loop,
+        dpm_solver_pp_2m_sample_loop_deepcache,
+    )
+
+    unet = _tiny_unet()
+    x, t, ctx = _inputs()
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    eps_full, eps_shallow, eps_plain = _eps_models(unet, params)
+    schedule = make_schedule(
+        beta_start=0.00085, beta_end=0.012, num_ddim_steps=8
+    )
+    context = jnp.concatenate([ctx, ctx], axis=0)
+    key = jax.random.PRNGKey(3)
+    shape = (2, 16, 16, 4)
+
+    exact = dpm_solver_pp_2m_sample_loop(
+        eps_plain, schedule, context, shape, key, guidance_scale=3.0
+    )
+    cached = dpm_solver_pp_2m_sample_loop_deepcache(
+        eps_full, eps_shallow, schedule, context, shape, key,
+        guidance_scale=3.0, cache_interval=interval,
+    )
+    assert bool(jnp.all(jnp.isfinite(cached)))
+    err = float(jnp.sqrt(jnp.mean((cached - exact) ** 2)))
+    scale = float(jnp.sqrt(jnp.mean(exact**2)))
+    assert err < 0.5 * scale, (err, scale)

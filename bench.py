@@ -66,8 +66,15 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
         dtype=dtype,
     )
     ae = AutoencoderKL(dtype=dtype)
+    # LDM_BENCH_SPACING=uniform|trailing|karras: DDIM sub-sequence spacing
+    # (ldm.timestep_spacing). Spacing changes which timesteps are visited,
+    # not the per-step cost — throughput is spacing-independent; the knob
+    # exists here so quality evals and serving rows share one bench config.
     schedule = make_schedule(
-        beta_start=0.00085, beta_end=0.012, num_ddim_steps=steps
+        beta_start=0.00085,
+        beta_end=0.012,
+        num_ddim_steps=steps,
+        timestep_spacing=os.environ.get("LDM_BENCH_SPACING", "uniform"),
     )
 
     key = jax.random.PRNGKey(0)

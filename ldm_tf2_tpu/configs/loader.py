@@ -109,6 +109,12 @@ def load_config(path: str) -> dict:
             "ldm_sampling.cache_interval > 1 requires sampler: ddim or "
             f"dpm_solver_pp_2m, got {sampling.get('sampler')!r}"
         )
+    rescale = sampling.get("guidance_rescale", 0.0)
+    if not isinstance(rescale, (int, float)) or not 0.0 <= rescale <= 1.0:
+        raise ValueError(
+            "ldm_sampling.guidance_rescale must be in [0, 1], got "
+            f"{rescale!r}"
+        )
     strength = sampling.get("strength", 0.75)
     if not isinstance(strength, (int, float)) or not 0.0 <= strength <= 1.0:
         raise ValueError(
@@ -117,6 +123,15 @@ def load_config(path: str) -> dict:
     if sampling.get("mask_path") and not sampling.get("init_image_path"):
         raise ValueError(
             "ldm_sampling.mask_path requires ldm_sampling.init_image_path"
+        )
+
+    # Additive schedule key (diffusion/schedule.py make_schedule): DDIM
+    # sub-sequence spacing; "uniform" is the exact reference rule.
+    spacing = config.get("ldm", {}).get("timestep_spacing", "uniform")
+    if spacing not in ("uniform", "trailing", "karras"):
+        raise ValueError(
+            "ldm.timestep_spacing must be uniform|trailing|karras, got "
+            f"{spacing!r}"
         )
 
     # Additive trainer key (training/ldm_trainer.py make_optimizer):

@@ -46,6 +46,7 @@ class DiffusionSchedule:
     num_ddim_steps: int
     eta: float
     v_posterior: float
+    timestep_spacing: str
 
     betas: np.ndarray
     alphas: np.ndarray
@@ -69,6 +70,47 @@ class DiffusionSchedule:
     ddim_sqrt_recipm1_alphas_cumprod: np.ndarray
 
 
+def _karras_subsequence(
+    alphas_cumprod: np.ndarray, num_ddim_steps: int, rho: float = 7.0
+) -> np.ndarray:
+    """Karras et al. 2022 (EDM) sigma-space spacing, mapped onto the
+    discrete timestep grid.
+
+    sigma(t) = sqrt((1 - acp_t) / acp_t) is strictly increasing in t; the
+    Karras ramp places the ``num_ddim_steps`` sample sigmas as
+    ``(smax^(1/rho) + u (smin^(1/rho) - smax^(1/rho)))^rho`` for u in
+    [0, 1], which concentrates steps at low noise where few-step ODE
+    solvers accumulate most of their truncation error.  Each ramp sigma is
+    mapped to a fractional timeline position by interpolating log-sigma
+    and rounded to the nearest integer timestep; rounding collisions at
+    the dense low-noise end are resolved by forcing strict monotonicity.
+    Returns an ascending int32 array (same orientation as the reference's
+    uniform sub-sequence, model_runners.py:406-409).
+    """
+    sigmas = np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
+    ramp = np.linspace(0.0, 1.0, num_ddim_steps, dtype=np.float64)
+    min_inv = sigmas[0] ** (1.0 / rho)
+    max_inv = sigmas[-1] ** (1.0 / rho)
+    karras = (max_inv + ramp * (min_inv - max_inv)) ** rho  # descending
+    frac_t = np.interp(
+        np.log(karras), np.log(sigmas), np.arange(len(sigmas), dtype=np.float64)
+    )
+    steps = np.round(frac_t).astype(np.int64)[::-1].copy()  # ascending
+    for i in range(1, len(steps)):  # dedupe upward
+        if steps[i] <= steps[i - 1]:
+            steps[i] = steps[i - 1] + 1
+    steps = np.minimum(steps, len(sigmas) - 1)
+    for i in range(len(steps) - 2, -1, -1):  # re-dedupe from the top
+        if steps[i] >= steps[i + 1]:
+            steps[i] = steps[i + 1] - 1
+    if steps[0] < 0:
+        raise ValueError(
+            f"karras spacing cannot place {num_ddim_steps} distinct steps "
+            f"on a {len(sigmas)}-step timeline"
+        )
+    return steps.astype(np.int32)
+
+
 def make_schedule(
     num_steps: int = 1000,
     beta_start: float = 1e-4,
@@ -76,11 +118,24 @@ def make_schedule(
     v_posterior: float = 0.0,
     eta: float = 0.0,
     num_ddim_steps: int = 50,
+    timestep_spacing: str = "uniform",
 ) -> DiffusionSchedule:
     """Build all schedule tables (defaults mirror model_runners.py:354-365).
 
     The production config uses beta_start=0.00085, beta_end=0.012
     (all_in_one_config.yaml:104-111 in the reference).
+
+    ``timestep_spacing`` selects the DDIM sub-sequence (additive beyond the
+    reference, which only has the uniform ``range(0, T, T//S) + 1`` rule):
+      * ``"uniform"`` — the reference's leading-uniform spacing (exact).
+      * ``"trailing"`` — uniform from the FINAL timestep downward
+        (``round(arange(T, 0, -T/S)) - 1``); starts sampling at t=T-1
+        instead of t≈T-20, which few-step deterministic samplers prefer.
+      * ``"karras"`` — Karras/EDM rho=7 sigma spacing (see
+        ``_karras_subsequence``), the standard choice for DPM-Solver++ at
+        low step counts.
+    Downstream samplers and solvers only consume the per-index ddim_*
+    tables, so every spacing works with every sampler unchanged.
     """
     # "scaled-linear": linspace in sqrt-beta space, then squared
     # (model_runners.py:379-382), float64 throughout.
@@ -100,11 +155,28 @@ def make_schedule(
         + v_posterior * betas
     )
 
-    # DDIM sub-sequence: range(0, T, T//S), shifted by +1 when subsampling
-    # (model_runners.py:406-409).  For T=1000, S=50: [1, 21, ..., 981].
-    ddim_steps = np.arange(0, num_steps, num_steps // num_ddim_steps, dtype=np.int32)
-    if num_ddim_steps < num_steps:
-        ddim_steps = ddim_steps + 1
+    if timestep_spacing == "uniform":
+        # DDIM sub-sequence: range(0, T, T//S), shifted by +1 when
+        # subsampling (model_runners.py:406-409).  For T=1000, S=50:
+        # [1, 21, ..., 981].
+        ddim_steps = np.arange(
+            0, num_steps, num_steps // num_ddim_steps, dtype=np.int32
+        )
+        if num_ddim_steps < num_steps:
+            ddim_steps = ddim_steps + 1
+    elif timestep_spacing == "trailing":
+        ddim_steps = (
+            np.round(np.arange(num_steps, 0, -num_steps / num_ddim_steps))
+            .astype(np.int32)[::-1]
+            - 1
+        )
+    elif timestep_spacing == "karras":
+        ddim_steps = _karras_subsequence(alphas_cumprod, num_ddim_steps)
+    else:
+        raise ValueError(
+            "timestep_spacing must be uniform|trailing|karras, got "
+            f"{timestep_spacing!r}"
+        )
 
     ddim_alphas_cumprod = alphas_cumprod[ddim_steps]
     ddim_alphas_cumprod_prev = np.concatenate(
@@ -127,6 +199,7 @@ def make_schedule(
         num_ddim_steps=num_ddim_steps,
         eta=eta,
         v_posterior=v_posterior,
+        timestep_spacing=timestep_spacing,
         betas=f32(betas),
         alphas=f32(alphas),
         alphas_cumprod=f32(alphas_cumprod),

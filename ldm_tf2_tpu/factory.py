@@ -87,4 +87,5 @@ def build_schedule(config: dict) -> DiffusionSchedule:
         v_posterior=ldm["v_posterior"],
         eta=ldm["eta"],
         num_ddim_steps=ldm["num_ddim_steps"],
+        timestep_spacing=ldm.get("timestep_spacing", "uniform"),
     )

@@ -345,6 +345,53 @@ def test_sampler_cli_negative_prompt(workspace):
     assert images.dtype == np.uint8
 
 
+def test_sampler_cli_karras_spacing(workspace):
+    """ldm.timestep_spacing: karras flows config -> factory -> sampler
+    (additive; the reference only has the uniform rule,
+    model_runners.py:406-409)."""
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["ldm"]["timestep_spacing"] = "karras"
+    cfg["ldm_sampling"]["sampler"] = "dpm_solver_pp_2m"
+    k_path = str(root / "config_karras.yaml")
+    with open(k_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(
+        run_ldm_sampler,
+        ["run_ldm_sampler", f"--config_path={k_path}"],
+    )
+    images = np.load(root / "images.npy")
+    assert images.shape == (2, IMG, IMG, 3)
+    assert images.dtype == np.uint8
+    # spacing must change the sampled images vs the uniform default
+    _run_cli(
+        run_ldm_sampler,
+        ["run_ldm_sampler", f"--config_path={config_path}"],
+    )
+    uniform_images = np.load(root / "images.npy")
+    assert not np.array_equal(images, uniform_images)
+
+
+def test_config_loader_validates_timestep_spacing(workspace):
+    import pytest
+
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["ldm"]["timestep_spacing"] = "cosine"
+    bad = str(root / "config_bad_spacing.yaml")
+    with open(bad, "w") as f:
+        yaml.safe_dump(cfg, f)
+    with pytest.raises(ValueError, match="timestep_spacing"):
+        load_config(bad)
+
+
 def test_sampler_cli_int8(workspace):
     """tpu.quantize: int8 — the W8A8 U-Net conv path (ops/quant_conv.py)
     through the real sampler CLI; output stays a valid image batch."""

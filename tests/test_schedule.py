@@ -102,6 +102,64 @@ def test_posterior_variance_formula():
     )
 
 
+def test_trailing_spacing():
+    s = make_schedule(num_ddim_steps=20, timestep_spacing="trailing")
+    assert s.ddim_steps.shape == (20,)
+    # Trailing starts sampling at the FINAL timestep (uniform stops at 951
+    # for S=20) and steps down uniformly by T/S.
+    assert s.ddim_steps[-1] == 999
+    np.testing.assert_array_equal(np.diff(s.ddim_steps), 50)
+
+
+def test_karras_spacing_properties():
+    s = make_schedule(num_ddim_steps=20, timestep_spacing="karras")
+    steps = s.ddim_steps
+    assert steps.shape == (20,)
+    assert np.all(np.diff(steps) > 0)  # strictly increasing, no collisions
+    assert steps[-1] == 999  # sigma_max maps to the final timestep
+    # Karras rho=7 concentrates steps at LOW noise: gaps grow monotonically
+    # toward high t (compare first vs last inter-step gap).
+    gaps = np.diff(steps.astype(np.int64))
+    assert gaps[0] < gaps[-1]
+    # The selected sigmas track the analytic Karras ramp: check the
+    # round-trip sigma of each chosen step is within one grid cell of the
+    # ideal ramp value.
+    acp = s.alphas_cumprod.astype(np.float64)
+    sig = np.sqrt((1 - acp) / acp)
+    rho = 7.0
+    ramp = np.linspace(0, 1, 20)
+    ideal = (
+        sig[-1] ** (1 / rho) + ramp * (sig[0] ** (1 / rho) - sig[-1] ** (1 / rho))
+    ) ** rho
+    chosen = sig[steps][::-1]
+    # neighbour-cell tolerance: |log sigma| error bounded by local grid step
+    for i, t in enumerate(steps[::-1]):
+        lo, hi = max(t - 1, 0), min(t + 1, 999)
+        assert sig[lo] <= ideal[i] * 1.5 and ideal[i] * 0.66 <= sig[hi], (
+            i, t, ideal[i], chosen[i])
+
+
+def test_karras_tables_consistent_with_steps():
+    # All ddim_* tables must be gathers of the full tables at ddim_steps,
+    # regardless of spacing (the solver contract).
+    s = make_schedule(num_ddim_steps=25, timestep_spacing="karras", eta=0.5)
+    np.testing.assert_array_equal(
+        s.ddim_alphas_cumprod, s.alphas_cumprod[s.ddim_steps]
+    )
+    np.testing.assert_array_equal(
+        s.ddim_alphas_cumprod_prev,
+        np.concatenate(
+            [[s.alphas_cumprod[0]], s.alphas_cumprod[s.ddim_steps[:-1]]]
+        ),
+    )
+    assert np.all(s.ddim_sigmas >= 0)
+
+
+def test_unknown_spacing_raises():
+    with pytest.raises(ValueError, match="timestep_spacing"):
+        make_schedule(timestep_spacing="cosine")
+
+
 def test_q_sample_coefficient_energy_conservation():
     # sqrt(acp)^2 + sqrt(1-acp)^2 == 1: q_sample preserves unit variance.
     s = make_schedule()

@@ -44,11 +44,14 @@ def _exact_eps_model(schedule):
     return eps_model
 
 
-def _run(loop_fn, num_ddim_steps):
+def _run(loop_fn, num_ddim_steps, timestep_spacing="uniform"):
     """Returns (sample, exact PF-ODE endpoint for this step count's
     start time)."""
     schedule = make_schedule(
-        beta_start=0.00085, beta_end=0.012, num_ddim_steps=num_ddim_steps
+        beta_start=0.00085,
+        beta_end=0.012,
+        num_ddim_steps=num_ddim_steps,
+        timestep_spacing=timestep_spacing,
     )
     context = jnp.zeros((2 * SHAPE[0], 3, 8), jnp.float32)
     out = loop_fn(
@@ -92,3 +95,18 @@ def test_solver_converges_with_steps(loop_fn):
     errs = [_run(loop_fn, n) for n in (10, 50, 200)]
     assert errs[2] < errs[1] < errs[0], errs
     assert errs[2] < 0.025, errs[2]
+
+
+@pytest.mark.parametrize("spacing", ["trailing", "karras"])
+@pytest.mark.parametrize(
+    "loop_fn",
+    [ddim_sample_loop, plms_sample_loop, dpm_solver_pp_2m_sample_loop],
+    ids=["ddim", "plms", "dpm2m"],
+)
+def test_solvers_converge_under_alternate_spacings(loop_fn, spacing):
+    # Every sampler must consume a non-uniform ddim sub-sequence unchanged
+    # (the schedule contract: ddim_* tables are gathers at ddim_steps).
+    errs = [_run(loop_fn, n, spacing) for n in (10, 50, 200)]
+    assert np.isfinite(errs).all(), errs
+    assert errs[2] < errs[0], errs
+    assert errs[2] < 0.03, errs[2]

@@ -12,6 +12,8 @@ Mode grammar (composable serving-menu rows):
   deepcacheN    ldm_sampling.cache_interval = N
   dpmN          sampler: dpm_solver_pp_2m at N steps (few-step solver)
   plmsN         sampler: plms at N steps
+  <mode>-karras / <mode>-trailing
+                ldm.timestep_spacing for the mode (e.g. dpm20-karras)
 
 Requires the /tmp/ldm_demo workdir from tools/run_demo.py (trained
 checkpoints + patched config).
@@ -43,20 +45,27 @@ REAL_N = 1024
 
 
 def patch_config(mode: str) -> str:
+    # Optional "-karras"/"-trailing" suffix on any mode selects the DDIM
+    # sub-sequence spacing (ldm.timestep_spacing), e.g. "dpm20-karras".
+    base, spacing = mode, "uniform"
+    for suffix in ("karras", "trailing"):
+        if mode.endswith("-" + suffix):
+            base, spacing = mode[: -len(suffix) - 1], suffix
     with open(CFG_PATCHED) as f:
         raw = yaml.safe_load(f)
     tpu = raw.setdefault("tpu", {})
-    tpu["quantize"] = "int8" if mode == "int8" else "none"
+    tpu["quantize"] = "int8" if base == "int8" else "none"
+    raw["ldm"]["timestep_spacing"] = spacing
     sampling = raw["ldm_sampling"]
     sampling["cache_interval"] = (
-        int(mode[len("deepcache"):]) if mode.startswith("deepcache") else 1
+        int(base[len("deepcache"):]) if base.startswith("deepcache") else 1
     )
-    if mode.startswith("dpm"):
+    if base.startswith("dpm"):
         sampling["sampler"] = "dpm_solver_pp_2m"
-        raw["ldm"]["num_ddim_steps"] = int(mode[len("dpm"):])
-    elif mode.startswith("plms"):
+        raw["ldm"]["num_ddim_steps"] = int(base[len("dpm"):])
+    elif base.startswith("plms"):
         sampling["sampler"] = "plms"
-        raw["ldm"]["num_ddim_steps"] = int(mode[len("plms"):])
+        raw["ldm"]["num_ddim_steps"] = int(base[len("plms"):])
     path = os.path.join(DEMO, f"corpus_cfg_{mode}.yaml")
     with open(path, "w") as f:
         yaml.safe_dump(raw, f)

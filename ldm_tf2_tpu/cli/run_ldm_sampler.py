@@ -95,6 +95,10 @@ def main(_):
         )
     )
     guidance_scale = float(sampling["guidance_scale"])
+    # Additive (diffusion/sampler.py apply_cfg): CFG rescale phi, Lin et
+    # al. 2023 — corrects over-exposure at high guidance scales; 0.0 is
+    # the exact reference CFG combine.
+    guidance_rescale = float(sampling.get("guidance_rescale", 0.0))
     save_progress = bool(sampling.get("sample_save_progress", False))
     # Additive config key: the reference CLI only exposes DDIM
     # (model_runners.py:474); we add ancestral DDPM and the higher-order
@@ -172,6 +176,7 @@ def main(_):
                 shape,
                 key,
                 guidance_scale,
+                guidance_rescale=guidance_rescale,
             )
             num_records = sample_prog.shape[1]
             flat = lambda p: p.reshape(shape[0] * num_records, *shape[1:])
@@ -238,6 +243,7 @@ def main(_):
             x0 = ddim_img2img_loop(
                 eps_model_of(unet_p), schedule, context, init_latent, key,
                 strength=strength, guidance_scale=guidance_scale, mask=mask,
+                guidance_rescale=guidance_rescale,
             )
             return decode(ae_p, x0)
 
@@ -266,6 +272,7 @@ def main(_):
             x0 = cache_loop(
                 eps_full, eps_shallow, schedule, context, shape, key,
                 guidance_scale, cache_interval=cache_interval,
+                guidance_rescale=guidance_rescale,
             )
             return decode(ae_p, x0)
 
@@ -277,6 +284,7 @@ def main(_):
             x0 = sample_loop(
                 eps_model_of(unet_p), schedule, context, shape, key,
                 guidance_scale,
+                guidance_rescale=guidance_rescale,
             )
             return decode(ae_p, x0)
 

@@ -125,6 +125,8 @@ def build_server(config):
     # ldm_sampling.cache_interval > 1: serve with DeepCache acceleration
     cache_interval = int(sampling.get("cache_interval", 1))
     cache_levels = int(sampling.get("cache_levels", 1))
+    # CFG rescale phi (diffusion/sampler.py apply_cfg) — pipeline-static
+    guidance_rescale = float(sampling.get("guidance_rescale", 0.0))
 
     # same sampler selection (and validation) as run_ldm_sampler, so one
     # YAML produces the same samples through either CLI
@@ -182,13 +184,15 @@ def build_server(config):
                 ),
                 schedule, context, shape, key, guidance_scale,
                 cache_interval=cache_interval,
+                guidance_rescale=guidance_rescale,
             )
         else:
             eps_model = lambda x, t, c: unet.apply(
                 {"params": unet_p}, x, t, c
             )
             x0 = sample_loop(
-                eps_model, schedule, context, shape, key, guidance_scale
+                eps_model, schedule, context, shape, key, guidance_scale,
+                guidance_rescale=guidance_rescale,
             )
         return decode(ae_p, x0)
 

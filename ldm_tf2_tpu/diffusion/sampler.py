@@ -38,6 +38,37 @@ from ldm_tf2_tpu.diffusion.schedule import DiffusionSchedule
 EpsModel = Callable[..., jnp.ndarray]
 
 
+def apply_cfg(eps2, guidance_scale, guidance_rescale=0.0):
+    """Classifier-free-guidance combine over a doubled batch.
+
+    ``eps2`` is the U-Net output on the [2B] CFG batch, uncond half first;
+    returns ``eps_u + s * (eps_c - eps_u)`` (model_runners.py:451-453).
+    The ``jnp.asarray(..., dtype)`` casts keep a *traced* f32 operand
+    (serve_ldm's per-slot [B,1,1,1] arrays) from upcasting bf16 eps and
+    breaking the scan-carry dtype.
+
+    ``guidance_rescale`` (phi in Lin et al. 2023, "Common Diffusion Noise
+    Schedules and Sample Steps are Flawed", §3.4 — additive beyond the
+    reference) rescales the guided eps toward the per-example std of the
+    conditional eps, correcting CFG's over-exposure at high scales:
+    ``phi * eps_cfg * (std(eps_c)/std(eps_cfg)) + (1-phi) * eps_cfg``.
+    A static 0.0 (the default) compiles to the exact reference path.
+    """
+    eps_uncond, eps_cond = jnp.split(eps2, 2, axis=0)
+    scale = jnp.asarray(guidance_scale, dtype=eps_cond.dtype)
+    eps = eps_uncond + scale * (eps_cond - eps_uncond)
+    if isinstance(guidance_rescale, (int, float)) and guidance_rescale == 0.0:
+        return eps
+    axes = tuple(range(1, eps.ndim))
+    std_cond = jnp.std(eps_cond, axis=axes, keepdims=True)
+    std_cfg = jnp.maximum(
+        jnp.std(eps, axis=axes, keepdims=True),
+        jnp.asarray(1e-6, eps.dtype),
+    )
+    phi = jnp.asarray(guidance_rescale, dtype=eps.dtype)
+    return phi * (eps * (std_cond / std_cfg)) + (1.0 - phi) * eps
+
+
 def ddim_step(
     eps_model: EpsModel,
     schedule: DiffusionSchedule,
@@ -47,6 +78,7 @@ def ddim_step(
     key: jax.Array,
     guidance_scale: float = 1.0,
     clip_denoised: bool = False,
+    guidance_rescale: float = 0.0,
 ):
     """One DDIM reverse step with CFG (model_runners.py:438-472).
 
@@ -62,14 +94,11 @@ def ddim_step(
     ddim_steps = jnp.asarray(schedule.ddim_steps)
     t = jnp.full((xt.shape[0] * 2,), ddim_steps[index], dtype=jnp.float32)
 
-    eps_uncond, eps = jnp.split(
-        eps_model(jnp.concatenate([xt, xt], axis=0), t, cond), 2, axis=0
+    eps = apply_cfg(
+        eps_model(jnp.concatenate([xt, xt], axis=0), t, cond),
+        guidance_scale,
+        guidance_rescale,
     )
-    # asarray(., eps.dtype): a *traced* guidance operand (serve_ldm's
-    # per-slot [B,1,1,1] array) is float32 and would otherwise upcast the
-    # bf16 eps — breaking the scan-carry dtype under compute_dtype bf16.
-    scale = jnp.asarray(guidance_scale, dtype=eps.dtype)
-    eps = eps_uncond + scale * (eps - eps_uncond)
     return ddim_update(schedule, xt, eps, index, key, clip_denoised)
 
 
@@ -110,6 +139,7 @@ def ddim_sample_loop(
     guidance_scale: float = 5.0,
     clip_denoised: bool = False,
     init_noise: jnp.ndarray | None = None,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """Full S-step DDIM reverse process as a single lax.scan
     (model_runners.py:474-509, re-expressed on-device).
@@ -141,6 +171,7 @@ def ddim_sample_loop(
             step_key,
             guidance_scale,
             clip_denoised,
+            guidance_rescale,
         )
         return (sample, key), None
 
@@ -163,6 +194,7 @@ def ddim_sample_loop_deepcache(
     cache_interval: int = 2,
     clip_denoised: bool = False,
     init_noise: jnp.ndarray | None = None,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """DDIM loop with deep-feature caching (DeepCache, Ma et al. 2023 /
     encoder propagation, arXiv:2312.09608 — see PAPERS.md).
@@ -194,9 +226,7 @@ def ddim_sample_loop_deepcache(
     ddim_steps = jnp.asarray(schedule.ddim_steps)
 
     def cfg(eps2):
-        eps_uncond, eps = jnp.split(eps2, 2, axis=0)
-        scale = jnp.asarray(guidance_scale, dtype=eps.dtype)
-        return eps_uncond + scale * (eps - eps_uncond)
+        return apply_cfg(eps2, guidance_scale, guidance_rescale)
 
     def full_step(xt, index, step_key):
         t = jnp.full((xt.shape[0] * 2,), ddim_steps[index], jnp.float32)
@@ -257,6 +287,7 @@ def ddim_img2img_loop(
     clip_denoised: bool = False,
     mask: jnp.ndarray | None = None,
     init_noise: jnp.ndarray | None = None,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """SDEdit-style image-to-image + latent inpainting (additive — the
     reference CLI is txt2img-only; semantics follow SDEdit, Meng et al.
@@ -321,6 +352,7 @@ def ddim_img2img_loop(
             step_key,
             guidance_scale,
             clip_denoised,
+            guidance_rescale,
         )
         if mask is not None:
             acp_prev = jnp.take(
@@ -358,6 +390,7 @@ def ddim_sample_loop_progressive(
     guidance_scale: float = 5.0,
     record_freq: int = 5,
     clip_denoised: bool = False,
+    guidance_rescale: float = 0.0,
 ):
     """DDIM loop that additionally records every ``record_freq``-th
     intermediate sample and pred_x0 (model_runners.py:511-575, fixed).
@@ -388,6 +421,7 @@ def ddim_sample_loop_progressive(
             step_key,
             guidance_scale,
             clip_denoised,
+            guidance_rescale,
         )
         # One-hot insert into the record slot index // record_freq
         # (model_runners.py:543-551).
@@ -416,16 +450,17 @@ def ddpm_step(
     key: jax.Array,
     guidance_scale: float = 1.0,
     clip_denoised: bool = True,
+    guidance_rescale: float = 0.0,
 ):
     """One ancestral (DDPM) reverse step using the posterior tables
     (model_runners.py:392-404).  Provided for schedule completeness; the
     reference CLI only exercises DDIM."""
     t_vec = jnp.full((xt.shape[0] * 2,), t, dtype=jnp.float32)
-    eps_uncond, eps = jnp.split(
-        eps_model(jnp.concatenate([xt, xt], axis=0), t_vec, cond), 2, axis=0
+    eps = apply_cfg(
+        eps_model(jnp.concatenate([xt, xt], axis=0), t_vec, cond),
+        guidance_scale,
+        guidance_rescale,
     )
-    scale = jnp.asarray(guidance_scale, dtype=eps.dtype)
-    eps = eps_uncond + scale * (eps - eps_uncond)
 
     take = lambda tbl: jnp.take(jnp.asarray(tbl), t).astype(xt.dtype)
     pred_x0 = (
@@ -453,6 +488,7 @@ def ddpm_sample_loop(
     key: jax.Array,
     guidance_scale: float = 5.0,
     clip_denoised: bool = True,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """Full T-step ancestral sampling loop as a lax.scan."""
     key, init_key = jax.random.split(key)
@@ -463,7 +499,7 @@ def ddpm_sample_loop(
         key, step_key = jax.random.split(key)
         sample, _ = ddpm_step(
             eps_model, schedule, xt, context, t, step_key, guidance_scale,
-            clip_denoised,
+            clip_denoised, guidance_rescale,
         )
         return (sample, key), None
 

@@ -25,22 +25,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ldm_tf2_tpu.diffusion.sampler import EpsModel
+from ldm_tf2_tpu.diffusion.sampler import EpsModel, apply_cfg
 from ldm_tf2_tpu.diffusion.schedule import DiffusionSchedule
 
 
-def _cfg_eps(eps_model, schedule, xt, cond, index, guidance_scale):
+def _cfg_eps(eps_model, schedule, xt, cond, index, guidance_scale,
+             guidance_rescale=0.0):
     """One CFG-guided eps prediction at ddim index (sampler.ddim_step
     semantics, model_runners.py:451-453)."""
     ddim_steps = jnp.asarray(schedule.ddim_steps)
     t = jnp.full((xt.shape[0] * 2,), ddim_steps[index], dtype=jnp.float32)
-    eps_uncond, eps = jnp.split(
-        eps_model(jnp.concatenate([xt, xt], axis=0), t, cond), 2, axis=0
+    return apply_cfg(
+        eps_model(jnp.concatenate([xt, xt], axis=0), t, cond),
+        guidance_scale,
+        guidance_rescale,
     )
-    # Cast so a traced guidance operand (serve_ldm per-slot array, f32)
-    # cannot upcast the bf16 eps and break the scan-carry dtype.
-    scale = jnp.asarray(guidance_scale, dtype=eps.dtype)
-    return eps_uncond + scale * (eps - eps_uncond)
 
 
 def _ddim_update(schedule, xt, eps, index, clip_denoised):
@@ -65,6 +64,7 @@ def plms_sample_loop(
     guidance_scale: float = 5.0,
     clip_denoised: bool = False,
     init_noise: jnp.ndarray | None = None,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """PLMS/PNDM sampling: one model call per step, eps history of 3.
 
@@ -92,7 +92,8 @@ def plms_sample_loop(
 
     def body(carry, index):
         xt, eps_buf, count = carry
-        e = _cfg_eps(eps_model, schedule, xt, context, index, guidance_scale)
+        e = _cfg_eps(eps_model, schedule, xt, context, index, guidance_scale,
+                     guidance_rescale)
         e1, e2, e3 = eps_buf[0], eps_buf[1], eps_buf[2]
         e_prime = jax.lax.switch(
             jnp.minimum(count, 3), (order1, order2, order3, order4),
@@ -120,6 +121,7 @@ def dpm_solver_pp_2m_sample_loop(
     guidance_scale: float = 5.0,
     clip_denoised: bool = False,
     init_noise: jnp.ndarray | None = None,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """DPM-Solver++(2M): second-order multistep in data-prediction form.
 
@@ -145,7 +147,8 @@ def dpm_solver_pp_2m_sample_loop(
 
     def body(carry, index):
         xt, x0_last, h_last, count = carry
-        e = _cfg_eps(eps_model, schedule, xt, context, index, guidance_scale)
+        e = _cfg_eps(eps_model, schedule, xt, context, index, guidance_scale,
+                     guidance_rescale)
 
         a_i = alpha[index].astype(xt.dtype)
         s_i = sigma[index].astype(xt.dtype)
@@ -186,6 +189,7 @@ def dpm_solver_pp_2m_sample_loop_deepcache(
     cache_interval: int = 2,
     clip_denoised: bool = False,
     init_noise: jnp.ndarray | None = None,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """DPM-Solver++(2M) with DeepCache deep-feature reuse — the two
     fastest serving mechanisms composed: the solver cuts the *number* of
@@ -220,9 +224,7 @@ def dpm_solver_pp_2m_sample_loop_deepcache(
     lam_p = jnp.log(alpha_p / sigma_p)
 
     def cfg(eps2):
-        eps_uncond, eps = jnp.split(eps2, 2, axis=0)
-        scale = jnp.asarray(guidance_scale, dtype=eps.dtype)
-        return eps_uncond + scale * (eps - eps_uncond)
+        return apply_cfg(eps2, guidance_scale, guidance_rescale)
 
     def update(carry, index, e):
         """The dpm_solver_pp_2m_sample_loop transition with a given eps."""

@@ -62,6 +62,79 @@ def test_ddim_step_cfg_mixing():
     )
 
 
+def test_apply_cfg_rescale():
+    """guidance_rescale (Lin et al. 2023): phi=0 is the exact CFG combine;
+    phi=1 restores the conditional eps's per-example std; intermediate phi
+    interpolates."""
+    from ldm_tf2_tpu.diffusion.sampler import apply_cfg
+
+    key = jax.random.PRNGKey(0)
+    ku, kc = jax.random.split(key)
+    eps_u = jax.random.normal(ku, (3, 4, 4, 2))
+    eps_c = 2.5 * jax.random.normal(kc, (3, 4, 4, 2))
+    eps2 = jnp.concatenate([eps_u, eps_c], axis=0)
+    s = 7.5
+
+    plain = np.asarray(eps_u + s * (eps_c - eps_u))
+    np.testing.assert_array_equal(apply_cfg(eps2, s), plain)
+    np.testing.assert_array_equal(apply_cfg(eps2, s, 0.0), plain)
+
+    full = np.asarray(apply_cfg(eps2, s, 1.0))
+    std_c = np.asarray(eps_c).std(axis=(1, 2, 3))
+    np.testing.assert_allclose(
+        full.std(axis=(1, 2, 3)), std_c, rtol=2e-2
+    )
+
+    half = np.asarray(apply_cfg(eps2, s, 0.5))
+    rescaled = plain * (
+        np.asarray(eps_c).std(axis=(1, 2, 3), keepdims=True)[..., None, None]
+        / plain.std(axis=(1, 2, 3), keepdims=True)[..., None, None]
+    ).reshape(3, 1, 1, 1)
+    np.testing.assert_allclose(
+        half, 0.5 * rescaled + 0.5 * plain, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_apply_cfg_rescale_preserves_bf16_and_traced_phi():
+    """A traced f32 phi (serve-style operand) must not upcast bf16 eps."""
+    from ldm_tf2_tpu.diffusion.sampler import apply_cfg
+
+    eps2 = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 2, 1)).astype(
+        jnp.bfloat16
+    )
+
+    out = jax.jit(
+        lambda e, phi: apply_cfg(e, jnp.float32(5.0), phi)
+    )(eps2, jnp.float32(0.7))
+    assert out.dtype == jnp.bfloat16
+
+
+def test_ddim_loop_guidance_rescale_changes_output():
+    schedule = make_schedule(num_steps=100, num_ddim_steps=10)
+
+    def eps_model(x2, t, cond):
+        b = x2.shape[0] // 2
+        return jnp.concatenate([0.1 * x2[:b], 0.3 * x2[b:]], axis=0)
+
+    context = jnp.zeros((4, 3, 4), jnp.float32)
+    kwargs = dict(guidance_scale=5.0)
+    base = ddim_sample_loop(
+        eps_model, schedule, context, (2, 4, 4, 1), jax.random.PRNGKey(0),
+        **kwargs,
+    )
+    resc = ddim_sample_loop(
+        eps_model, schedule, context, (2, 4, 4, 1), jax.random.PRNGKey(0),
+        guidance_rescale=0.7, **kwargs,
+    )
+    zero = ddim_sample_loop(
+        eps_model, schedule, context, (2, 4, 4, 1), jax.random.PRNGKey(0),
+        guidance_rescale=0.0, **kwargs,
+    )
+    np.testing.assert_array_equal(base, zero)  # 0.0 is the exact path
+    assert not np.array_equal(np.asarray(base), np.asarray(resc))
+    assert np.isfinite(np.asarray(resc)).all()
+
+
 def test_ddim_loop_shapes_and_determinism():
     schedule = make_schedule(num_steps=50, num_ddim_steps=5)
     context = jnp.zeros((4, 7, 8))  # 2B with B=2

@@ -86,16 +86,24 @@ def _karras_subsequence(
     the dense low-noise end are resolved by forcing strict monotonicity.
     Returns an ascending int32 array (same orientation as the reference's
     uniform sub-sequence, model_runners.py:406-409).
+
+    The sigma ramp ends at ``sigmas[1]``, not ``sigmas[0]``, and steps are
+    clamped to >= 1: a sub-sequence touching t=0 would make
+    ``ddim_alphas_cumprod_prev[0] == ddim_alphas_cumprod[0]`` (the prev
+    table prepends acp[0]), turning the final DDIM/DPM++ update into an
+    exact identity — one wasted U-Net eval and no final denoise.  The +1
+    floor mirrors the uniform rule's +1 shift (model_runners.py:406-409).
     """
     sigmas = np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
     ramp = np.linspace(0.0, 1.0, num_ddim_steps, dtype=np.float64)
-    min_inv = sigmas[0] ** (1.0 / rho)
+    min_inv = sigmas[1] ** (1.0 / rho)
     max_inv = sigmas[-1] ** (1.0 / rho)
     karras = (max_inv + ramp * (min_inv - max_inv)) ** rho  # descending
     frac_t = np.interp(
         np.log(karras), np.log(sigmas), np.arange(len(sigmas), dtype=np.float64)
     )
     steps = np.round(frac_t).astype(np.int64)[::-1].copy()  # ascending
+    steps = np.maximum(steps, 1)
     for i in range(1, len(steps)):  # dedupe upward
         if steps[i] <= steps[i - 1]:
             steps[i] = steps[i - 1] + 1
@@ -103,10 +111,10 @@ def _karras_subsequence(
     for i in range(len(steps) - 2, -1, -1):  # re-dedupe from the top
         if steps[i] >= steps[i + 1]:
             steps[i] = steps[i + 1] - 1
-    if steps[0] < 0:
+    if steps[0] < 1:
         raise ValueError(
             f"karras spacing cannot place {num_ddim_steps} distinct steps "
-            f"on a {len(sigmas)}-step timeline"
+            f"on a {len(sigmas)}-step timeline without touching t=0"
         )
     return steps.astype(np.int32)
 

@@ -11,6 +11,8 @@ import pytest
 from ldm_tf2_tpu.diffusion import make_schedule
 
 
+pytestmark = pytest.mark.fast  # per-session green-check tier
+
 def test_default_tables_shapes():
     s = make_schedule()
     assert s.betas.shape == (1000,)
@@ -129,7 +131,7 @@ def test_karras_spacing_properties():
     rho = 7.0
     ramp = np.linspace(0, 1, 20)
     ideal = (
-        sig[-1] ** (1 / rho) + ramp * (sig[0] ** (1 / rho) - sig[-1] ** (1 / rho))
+        sig[-1] ** (1 / rho) + ramp * (sig[1] ** (1 / rho) - sig[-1] ** (1 / rho))
     ) ** rho
     chosen = sig[steps][::-1]
     # neighbour-cell tolerance: |log sigma| error bounded by local grid step
@@ -137,6 +139,16 @@ def test_karras_spacing_properties():
         lo, hi = max(t - 1, 0), min(t + 1, 999)
         assert sig[lo] <= ideal[i] * 1.5 and ideal[i] * 0.66 <= sig[hi], (
             i, t, ideal[i], chosen[i])
+
+
+@pytest.mark.parametrize("n", [4, 8, 20, 50])
+def test_karras_final_step_not_identity(n):
+    # Sub-sequence must stay off t=0: acp_prev[0] == acp[0] would make the
+    # final DDIM/DPM++(2M) update an exact identity (h=0), wasting one of
+    # the S U-Net evals (ADVICE r2).  Mirrors the uniform rule's +1 shift.
+    s = make_schedule(num_ddim_steps=n, timestep_spacing="karras")
+    assert s.ddim_steps[0] >= 1
+    assert s.ddim_alphas_cumprod_prev[0] > s.ddim_alphas_cumprod[0]
 
 
 def test_karras_tables_consistent_with_steps():

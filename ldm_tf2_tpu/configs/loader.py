@@ -56,6 +56,13 @@ _TPU_DEFAULTS: dict[str, Any] = {
     "encode_chunks": 1,
     "persist_per_iterations": None,
     "log_per_iterations": 100,
+    # Persistent XLA compilation cache directory: every CLI process start
+    # (server restart, trainer resume, A/B rerun) reuses on-disk compiled
+    # executables instead of paying the multi-minute pipeline compile
+    # again. Shared across CLIs — the sampler warm-starts from a compile
+    # the server did and vice versa. null disables; the
+    # JAX_COMPILATION_CACHE_DIR env var overrides.
+    "compile_cache_dir": "/tmp/ldm_tf2_tpu_xla_cache",
     # W8A8 int8 U-Net ResBlock convs during sampling (ops/quant_conv.py):
     # ~2x MXU rate on the conv bucket; per-example dynamic activation
     # scales + per-channel weight scales. Opt-in serving mode — output
@@ -67,6 +74,16 @@ _TPU_DEFAULTS: dict[str, Any] = {
     # semantics as tpu.quantize.
     "quantize_attention": "none",
 }
+
+
+def _is_int(x: Any) -> bool:
+    """True for real ints only — bool is an int subclass, and YAML `true`
+    silently passing an int check turns a type error into phi=1.0 etc."""
+    return isinstance(x, int) and not isinstance(x, bool)
+
+
+def _is_number(x: Any) -> bool:
+    return _is_int(x) or isinstance(x, float)
 
 
 def load_config(path: str) -> dict:
@@ -92,12 +109,12 @@ def load_config(path: str) -> dict:
     sampling = config.get("ldm_sampling") or {}
     cache_interval = sampling.get("cache_interval", 1)
     cache_levels = sampling.get("cache_levels", 1)
-    if not isinstance(cache_interval, int) or cache_interval < 1:
+    if not _is_int(cache_interval) or cache_interval < 1:
         raise ValueError(
             "ldm_sampling.cache_interval must be an int >= 1, got "
             f"{cache_interval!r}"
         )
-    if not isinstance(cache_levels, int) or cache_levels < 1:
+    if not _is_int(cache_levels) or cache_levels < 1:
         raise ValueError(
             "ldm_sampling.cache_levels must be an int >= 1, got "
             f"{cache_levels!r}"
@@ -110,13 +127,13 @@ def load_config(path: str) -> dict:
             f"dpm_solver_pp_2m, got {sampling.get('sampler')!r}"
         )
     rescale = sampling.get("guidance_rescale", 0.0)
-    if not isinstance(rescale, (int, float)) or not 0.0 <= rescale <= 1.0:
+    if not _is_number(rescale) or not 0.0 <= rescale <= 1.0:
         raise ValueError(
             "ldm_sampling.guidance_rescale must be in [0, 1], got "
             f"{rescale!r}"
         )
     strength = sampling.get("strength", 0.75)
-    if not isinstance(strength, (int, float)) or not 0.0 <= strength <= 1.0:
+    if not _is_number(strength) or not 0.0 <= strength <= 1.0:
         raise ValueError(
             f"ldm_sampling.strength must be in [0, 1], got {strength!r}"
         )
@@ -137,7 +154,7 @@ def load_config(path: str) -> dict:
     # Additive trainer key (training/ldm_trainer.py make_optimizer):
     # average gradients over N micro-batches per AdamW update.
     accum = config.get("ldm_training", {}).get("grad_accum_steps", 1)
-    if not isinstance(accum, int) or accum < 1:
+    if not _is_int(accum) or accum < 1:
         raise ValueError(
             f"ldm_training.grad_accum_steps must be an int >= 1, got "
             f"{accum!r}"
@@ -179,6 +196,13 @@ def load_config(path: str) -> dict:
         raise ValueError(
             "tpu.quantize_attention must be 'none' or 'int8pv', got "
             f"{tpu['quantize_attention']!r}"
+        )
+    if tpu["compile_cache_dir"] is not None and not isinstance(
+        tpu["compile_cache_dir"], str
+    ):
+        raise ValueError(
+            "tpu.compile_cache_dir must be null or a directory path, got "
+            f"{tpu['compile_cache_dir']!r}"
         )
     config["tpu"] = tpu
     return config

@@ -195,14 +195,12 @@ def main():
 
     # Persistent XLA compilation cache: repeat invocations (A/B runs, the
     # driver re-running the bench) skip the multi-minute pipeline compile.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without these options
+    # Same shared cache dir as the CLIs (factory.enable_compile_cache), so
+    # a bench run warms the server/sampler and vice versa.
+    from ldm_tf2_tpu.configs.loader import _TPU_DEFAULTS
+    from ldm_tf2_tpu.factory import enable_compile_cache
+
+    enable_compile_cache(_TPU_DEFAULTS["compile_cache_dir"])
 
     # default: the headline 256^2 / 50-step config (BASELINE config #2);
     # `python bench.py highres` runs BASELINE config #5 (512^2, 64x64

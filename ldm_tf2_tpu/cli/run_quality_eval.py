@@ -37,11 +37,13 @@ def _load_images(path: str) -> np.ndarray:
 
 
 def main(_):
+    from ldm_tf2_tpu import factory
     from ldm_tf2_tpu.checkpoints.manager import load_params
     from ldm_tf2_tpu.configs import load_config
     from ldm_tf2_tpu.eval import fid_from_features, vgg_feature_extractor
 
     config = load_config(FLAGS.config_path)
+    factory.apply_tpu_settings(config)
     lpips_params = load_params(config["lpips_ckpt_path"])
     features = vgg_feature_extractor(lpips_params)
 

@@ -55,11 +55,18 @@ define_integer(
     "How long to wait for more stdin requests to micro-batch with the one "
     "just received (0 = pack only what is already buffered).",
 )
+define_string(
+    "aot_cache", "",
+    "Path for a serialized compiled-executable cache: a restarted server "
+    "deserializes the pipeline executable instead of re-tracing and "
+    "re-compiling (stale/mismatched artifacts fall back to a fresh "
+    "compile). Empty disables.",
+)
 
 FLAGS = flags.FLAGS
 
 
-def build_server(config):
+def build_server(config, aot_cache_path: str = ""):
     """Returns (run_batch, warmup, batch_size): a packed-slot batch runner
     closure over one jitted pipeline, a warmup compile trigger, and the
     compiled batch size."""
@@ -216,11 +223,12 @@ def build_server(config):
         # place the weight tree on device ONCE — otherwise every request
         # re-transfers the ~GB params host-to-device through jit
         params = jax.device_put(params)
-    jitted = jax.jit(pipeline)
+    # exec_ref["fn"] is the pipeline executable: a plain jit by default,
+    # swapped for a deserialized AOT executable by warmup() when
+    # --aot_cache hits (both take/return identical pytrees)
+    exec_ref = {"fn": jax.jit(pipeline)}
 
-    def run_batch(prompts, negatives, guidances, seed):
-        """One compiled pipeline call on a packed slot batch: length-B
-        prompt/negative/guidance lists → uint8 [B, H, W, 3]."""
+    def prep_inputs(prompts, negatives, guidances, seed):
         token_ids = jnp.asarray(
             packed_cfg_token_ids(tokenizer, prompts, negatives, max_seq_len)
         )
@@ -229,22 +237,38 @@ def build_server(config):
         )
         if data_parallel:
             token_ids, guidance = shard_batch((token_ids, guidance), mesh)
-        out = jitted(
-            params, token_ids, jax.random.PRNGKey(int(seed)), guidance
+        return token_ids, jax.random.PRNGKey(int(seed)), guidance
+
+    def run_batch(prompts, negatives, guidances, seed):
+        """One compiled pipeline call on a packed slot batch: length-B
+        prompt/negative/guidance lists → uint8 [B, H, W, 3]."""
+        token_ids, key, guidance = prep_inputs(
+            prompts, negatives, guidances, seed
         )
+        out = exec_ref["fn"](params, token_ids, key, guidance)
         return tensor_to_image(np.asarray(out))
 
     def warmup():
         t0 = time.perf_counter()
         b = shape[0]
-        run_batch(
+        warm_args = (
             [sampling["text_prompt"]] * b,
             [sampling.get("negative_prompt", "")] * b,
             [sampling["guidance_scale"]] * b,
-            0,
         )
+        how = "compiled"
+        if aot_cache_path:
+            token_ids, key, guidance = prep_inputs(*warm_args, 0)
+            exec_ref["fn"], how = factory.aot_compile_or_load(
+                exec_ref["fn"],
+                (params, token_ids, key, guidance),
+                aot_cache_path,
+                note=lambda m: print(f"[serve] {m}", file=sys.stderr),
+            )
+        run_batch(*warm_args, 0)
+        label = {"aot-cache": "AOT warm start", "compiled": "compiled"}[how]
         print(
-            f"[serve] compiled + warm in {time.perf_counter() - t0:.1f}s",
+            f"[serve] {label} + warm in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
 
@@ -328,14 +352,14 @@ def _read_wave(input_stream, window_s: float):
 
 
 def serve(config, input_stream, output_stream, output_dir: str = ".",
-          batch_window_ms: int = 0):
+          batch_window_ms: int = 0, aot_cache_path: str = ""):
     """The micro-batching request loop, separated from main() so tests can
     drive it with in-memory streams.
 
     Each wave of buffered requests is packed into full compiled batches
     (slots grouped by seed — the PRNG key is per-call); responses are
     written in request order."""
-    run_batch, warmup, batch_size = build_server(config)
+    run_batch, warmup, batch_size = build_server(config, aot_cache_path)
     sampling = config["ldm_sampling"]
     warmup()
     print("[serve] ready", file=sys.stderr)
@@ -417,7 +441,8 @@ def main(_):
     maybe_initialize_distributed()
     config = load_config(FLAGS.config_path)
     serve(config, sys.stdin, sys.stdout, FLAGS.output_dir,
-          batch_window_ms=FLAGS.batch_window_ms)
+          batch_window_ms=FLAGS.batch_window_ms,
+          aot_cache_path=FLAGS.aot_cache)
 
 
 if __name__ == "__main__":

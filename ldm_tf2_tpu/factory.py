@@ -3,6 +3,7 @@ inline in each run_*.py script; we centralize it)."""
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -21,7 +22,88 @@ from ldm_tf2_tpu.models import (
 from ldm_tf2_tpu.ops.attention import set_attention_impl
 
 
+def enable_compile_cache(
+    cache_dir: str | None, min_compile_seconds: float = 1.0
+) -> str | None:
+    """Point JAX's persistent compilation cache at ``cache_dir``.
+
+    The XLA compile of the full sampling pipeline is multi-minute on the
+    0.87B U-Net (BENCH r02: 1292 s warmup); with the on-disk cache a
+    restarted server/trainer/sampler fetches the compiled executable
+    instead of re-compiling, turning every warm process start into
+    seconds.  The JAX_COMPILATION_CACHE_DIR env var overrides; None (or
+    empty) disables.  Returns the directory actually in effect.
+    """
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or cache_dir
+    if not cache_dir:
+        return None
+    cache_dir = os.path.expanduser(cache_dir)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_seconds
+    )
+    # cache regardless of entry size — the pipeline executables we care
+    # about are all large, and tiny helper fns are filtered by time above
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir
+
+
+def aot_compile_or_load(jit_fn, example_args, path: str, note=None):
+    """Ahead-of-time executable cache: load a serialized compiled
+    executable from ``path``, or compile ``jit_fn`` at ``example_args``
+    and save it there.
+
+    The persistent compilation cache (enable_compile_cache) skips the XLA
+    compile on restart but still re-traces the pipeline; this skips BOTH —
+    a restarted server deserializes the executable directly.  The artifact
+    embeds device topology, shapes, and jax version; any mismatch (driver
+    upgrade, different batch, different chip) fails the load and falls
+    back to a fresh compile that overwrites the artifact atomically.
+
+    Returns (callable, source) with source "aot-cache" | "compiled".
+    """
+    import pickle
+
+    from jax.experimental import serialize_executable
+
+    note = note or (lambda msg: None)
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree, device_ids = pickle.load(f)
+            # re-bind to the SAME device assignment the executable was
+            # compiled for — the default (all local devices) breaks when
+            # it was compiled for a subset (e.g. single-device jit on an
+            # 8-device host)
+            by_id = {d.id: d for d in jax.devices()}
+            fn = serialize_executable.deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=[by_id[i] for i in device_ids],
+            )
+            return fn, "aot-cache"
+        except Exception as e:  # stale/incompatible artifact: recompile
+            note(f"AOT cache load failed ({type(e).__name__}: {e}); "
+                 "recompiling")
+    compiled = jit_fn.lower(*example_args).compile()
+    try:
+        payload, in_tree, out_tree = serialize_executable.serialize(compiled)
+        device_ids = [
+            d.id
+            for d in compiled._executable.xla_executable.local_devices()
+        ]
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree, device_ids), f)
+        os.replace(tmp, path)
+    except Exception as e:  # backend without serialization support
+        note(f"AOT serialize failed ({type(e).__name__}: {e}); "
+             "executable cache not written")
+    return compiled, "compiled"
+
+
 def apply_tpu_settings(config: dict) -> None:
+    enable_compile_cache(config["tpu"].get("compile_cache_dir"))
     set_attention_impl(config["tpu"]["attention_impl"])
 
 

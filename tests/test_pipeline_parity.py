@@ -15,13 +15,23 @@ from ldm_tf2_tpu.diffusion import make_schedule
 from ldm_tf2_tpu.diffusion.sampler import ddim_sample_loop
 from ldm_tf2_tpu.models import AutoencoderKL, TransformerModel, UNet
 
+pytestmark = pytest.mark.fast  # per-session green-check tier
+
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
 
 
 def test_txt2img_pipeline_parity():
     path = os.path.join(GOLDENS, "txt2img_pipeline.npz")
     if not os.path.exists(path):
-        pytest.skip("golden missing; run tools/make_goldens.py")
+        # missing fixture = failure, not silent skip (see
+        # test_golden_parity.load); LDM_ALLOW_MISSING_GOLDENS=1 to bypass
+        if os.environ.get("LDM_ALLOW_MISSING_GOLDENS") == "1":
+            pytest.skip("golden missing; run tools/make_goldens.py")
+        pytest.fail(
+            "golden fixture txt2img_pipeline.npz is missing — run "
+            "`TF_USE_LEGACY_KERAS=1 python tools/make_goldens.py "
+            "txt2img_pipeline`"
+        )
     g = np.load(path)
 
     transformer = TransformerModel(

@@ -213,9 +213,17 @@ def _convert_spatial_transformer(g, p, src: str, dst: tuple[str, ...],
             _merge_proj(g(f"{tb}.{theirs}.to_out.0.weight"), num_heads),
         )
         _set(p, blk + (ours, "output", "bias"), g(f"{tb}.{theirs}.to_out.0.bias"))
-    _set(p, blk + ("ffn", "geglu", "dense", "kernel"),
-         _linear(g(f"{tb}.ff.net.0.proj.weight")))
-    _set(p, blk + ("ffn", "geglu", "dense", "bias"), g(f"{tb}.ff.net.0.proj.bias"))
+    # CompVis GEGLU is one fused Linear(D, 2F) chunked value-first
+    # (attention.py GEGLU in the latent-diffusion repo); our tree stores
+    # separate value/gate leaves (models/unet.py GEGLU — TP column
+    # parallelism), so split the converted [D, 2F] columns in half.
+    w_fused = _linear(g(f"{tb}.ff.net.0.proj.weight"))
+    b_fused = g(f"{tb}.ff.net.0.proj.bias")
+    half = w_fused.shape[-1] // 2
+    _set(p, blk + ("ffn", "geglu", "value", "kernel"), w_fused[:, :half])
+    _set(p, blk + ("ffn", "geglu", "value", "bias"), b_fused[:half])
+    _set(p, blk + ("ffn", "geglu", "gate", "kernel"), w_fused[:, half:])
+    _set(p, blk + ("ffn", "geglu", "gate", "bias"), b_fused[half:])
     _set(p, blk + ("ffn", "dense", "kernel"), _linear(g(f"{tb}.ff.net.2.weight")))
     _set(p, blk + ("ffn", "dense", "bias"), g(f"{tb}.ff.net.2.bias"))
 

@@ -71,7 +71,37 @@ def save_params(directory: str, params: Any, overwrite: bool = False) -> None:
     ckptr.wait_until_finished()
 
 
+def migrate_legacy_params(params: Any) -> Any:
+    """In-place upgrade of param trees saved before the GEGLU value/gate
+    split (models/unet.py GEGLU): a fused ``geglu/dense`` leaf pair
+    [D, 2F]/[2F] becomes ``geglu/value`` + ``geglu/gate`` halves
+    (value columns first — the reference's split(h, 2, -1) order,
+    unet.py:322-324).  New-format trees pass through untouched."""
+    if not isinstance(params, dict):
+        return params
+    for key, child in params.items():
+        if (
+            key == "geglu"
+            and isinstance(child, dict)
+            and set(child) == {"dense"}
+            and "kernel" in child["dense"]
+        ):
+            kernel = child["dense"]["kernel"]
+            bias = child["dense"]["bias"]
+            half = kernel.shape[-1] // 2
+            params[key] = {
+                "value": {"kernel": kernel[..., :half], "bias": bias[:half]},
+                "gate": {"kernel": kernel[..., half:], "bias": bias[half:]},
+            }
+        else:
+            migrate_legacy_params(child)
+    return params
+
+
 def load_params(directory: str, abstract_params: Any = None) -> Any:
-    """Load a bare param pytree saved by `save_params`."""
+    """Load a bare param pytree saved by `save_params` (legacy fused-GEGLU
+    artifacts are migrated to the value/gate layout on load)."""
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(_resolve(directory), abstract_params)
+    return migrate_legacy_params(
+        ckptr.restore(_resolve(directory), abstract_params)
+    )

@@ -291,21 +291,33 @@ class _LayerNormParams(nn.Module):
 
 
 class GEGLU(nn.Module):
-    """Dense(2C) split -> x * gelu(gate) (unet.py:317-325).  Exposes the
-    dense params so FeedForward can route through the fused kernel."""
+    """value-Dense(C) * gelu(gate-Dense(C)) (unet.py:317-325).  Exposes the
+    dense params so FeedForward can route through the fused kernel.
+
+    The reference stores ONE fused [D, 2C] kernel and splits the
+    activation (value columns first, gate second); we store TWO leaves
+    (``value``/``gate``) computing the identical function.  Rationale:
+    under tensor parallelism a column-sharded fused kernel puts the value
+    and gate halves on disjoint device groups, so the activation split
+    forces a GSPMD reshard mid-FFN; separate leaves column-shard cleanly
+    (true Megatron column parallelism, no collective before the product).
+    Legacy checkpoints with the fused ``geglu/dense`` leaf are migrated on
+    load (checkpoints/manager.py migrate_legacy_params)."""
 
     channels: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def params(self, in_features: int):
-        return _DenseParams(self.channels * 2, name="dense")(in_features)
+        wv, bv = _DenseParams(self.channels, name="value")(in_features)
+        wg, bg = _DenseParams(self.channels, name="gate")(in_features)
+        return wv, bv, wg, bg
 
     def __call__(self, x):
-        w, b = self.params(x.shape[-1])
-        h = jnp.dot(x, w.astype(self.dtype)) + b.astype(self.dtype)
-        x, gate = jnp.split(h, 2, axis=-1)
-        return x * nn.gelu(gate, approximate=False)
+        wv, bv, wg, bg = self.params(x.shape[-1])
+        v = jnp.dot(x, wv.astype(self.dtype)) + bv.astype(self.dtype)
+        g = jnp.dot(x, wg.astype(self.dtype)) + bg.astype(self.dtype)
+        return v * nn.gelu(g, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -330,7 +342,7 @@ class FeedForward(nn.Module):
 
         hidden = self.channels * self.multiplier
         geglu = GEGLU(hidden, dtype=self.dtype, name="geglu")
-        w1, b1 = geglu.params(x.shape[-1])
+        wv, bv, wg, bg = geglu.params(x.shape[-1])
         w2, b2 = _DenseParams(self.channels, name="dense")(hidden)
 
         dropout_active = training and self.dropout_rate > 0.0
@@ -340,8 +352,10 @@ class FeedForward(nn.Module):
                 x,
                 ln_scale,
                 ln_bias,
-                w1.astype(self.dtype),
-                b1.astype(self.dtype),
+                wv.astype(self.dtype),
+                bv.astype(self.dtype),
+                wg.astype(self.dtype),
+                bg.astype(self.dtype),
                 w2.astype(self.dtype),
                 b2.astype(self.dtype),
             )
@@ -355,8 +369,8 @@ class FeedForward(nn.Module):
         )
         y = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
         y = (y * ln_scale + ln_bias).astype(self.dtype)
-        h = jnp.dot(y, w1.astype(self.dtype)) + b1.astype(self.dtype)
-        a, g = jnp.split(h, 2, axis=-1)
+        a = jnp.dot(y, wv.astype(self.dtype)) + bv.astype(self.dtype)
+        g = jnp.dot(y, wg.astype(self.dtype)) + bg.astype(self.dtype)
         h = a * nn.gelu(g, approximate=False)
         h = nn.Dropout(self.dropout_rate, deterministic=not training)(h)
         out = jnp.dot(h, w2.astype(self.dtype)) + b2.astype(self.dtype)

@@ -13,8 +13,9 @@ Math (matches models/unet.py BasicTransformerBlock ffn branch,
 reference unet.py:308-338):
 
     y  = LayerNorm(x; scale, bias, eps)            # f32 stats
-    ag = y @ w1 + b1                               # w1: [d, 8d]
-    u  = ag[..., :4d] * gelu_exact(ag[..., 4d:])   # f32
+    a  = y @ w1v + b1v                             # w1v: [d, 4d] (value)
+    g  = y @ w1g + b1g                             # w1g: [d, 4d] (gate)
+    u  = a * gelu_exact(g)                         # f32
     out = u @ w2 + b2 + x                          # w2: [4d, d]
 
 Grid: (M tiles, J column-blocks of the 4d hidden dim).  The LayerNorm is
@@ -107,9 +108,9 @@ def _gelu_poly_f32(x):
     return 0.5 * x + 0.5 * h
 
 
-def _xla_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+def _xla_ffn(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2, eps):
     """Reference implementation (exactly the unfused model math:
-    nn.LayerNorm(f32 stats) -> Dense -> split -> x*gelu -> Dense -> +x)."""
+    nn.LayerNorm(f32 stats) -> value/gate Dense -> v*gelu(g) -> Dense -> +x)."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     # fast variance (mean of squares minus squared mean): matches the
@@ -121,8 +122,8 @@ def _xla_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
     y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
     y = y.astype(x.dtype)
-    h = jnp.dot(y, w1) + b1
-    a, g = jnp.split(h, 2, axis=-1)
+    a = jnp.dot(y, w1v) + b1v
+    g = jnp.dot(y, w1g) + b1g
     u = a * jax.nn.gelu(g, approximate=False)
     return jnp.dot(u, w2) + b2 + x
 
@@ -258,7 +259,8 @@ def _pick_tiles(m: int, d: int):
     return None
 
 
-def _pallas_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, tiles=None):
+def _pallas_ffn(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2, eps,
+                tiles=None):
     b, t, d = x.shape
     m = b * t
     tiles = tiles or _pick_tiles(m, d)
@@ -268,8 +270,8 @@ def _pallas_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, tiles=None):
     n_j = h4 // nb
 
     x2 = x.reshape(m, d)
-    w1a, w1b = w1[:, :h4], w1[:, h4:]
-    b1a, b1b = b1[:h4].reshape(1, h4), b1[h4:].reshape(1, h4)
+    w1a, w1b = w1v, w1g
+    b1a, b1b = b1v.reshape(1, h4), b1g.reshape(1, h4)
 
     out = pl.pallas_call(
         functools.partial(_ffn_kernel, eps=eps),
@@ -322,8 +324,8 @@ def _pallas_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, tiles=None):
     return out.reshape(b, t, d)
 
 
-def _pallas_ffn_int8(x, ln_scale, ln_bias, w1, b1, w2, b2, eps,
-                     tiles=None):
+def _pallas_ffn_int8(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2,
+                     eps, tiles=None):
     b, t, d = x.shape
     m = b * t
     tiles = tiles or _pick_tiles(m, d)
@@ -333,10 +335,10 @@ def _pallas_ffn_int8(x, ln_scale, ln_bias, w1, b1, w2, b2, eps,
     n_j = h4 // nb
 
     x2 = x.reshape(m, d)
-    w1a8, s1a = _quant_cols(w1[:, :h4])
-    w1b8, s1b = _quant_cols(w1[:, h4:])
+    w1a8, s1a = _quant_cols(w1v)
+    w1b8, s1b = _quant_cols(w1g)
     w28, s2 = _quant_cols(w2)
-    b1a, b1b = b1[:h4].reshape(1, h4), b1[h4:].reshape(1, h4)
+    b1a, b1b = b1v.reshape(1, h4), b1g.reshape(1, h4)
 
     out = pl.pallas_call(
         functools.partial(_ffn_kernel_int8, eps=eps),
@@ -398,22 +400,25 @@ def _pallas_ffn_int8(x, ln_scale, ln_bias, w1, b1, w2, b2, eps,
     return out.reshape(b, t, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _fused_ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
-    return _pallas_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _fused_ffn_pallas(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2,
+                      eps):
+    return _pallas_ffn(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2,
+                       eps)
 
 
-def _fused_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+def _fused_fwd(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2, eps):
     return (
-        _pallas_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps),
-        (x, ln_scale, ln_bias, w1, b1, w2, b2),
+        _pallas_ffn(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2, eps),
+        (x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2),
     )
 
 
 def _fused_bwd(eps, residuals, g):
-    x, ln_scale, ln_bias, w1, b1, w2, b2 = residuals
+    x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2 = residuals
     _, vjp = jax.vjp(
-        lambda *a: _xla_ffn(*a, eps), x, ln_scale, ln_bias, w1, b1, w2, b2
+        lambda *a: _xla_ffn(*a, eps), x, ln_scale, ln_bias, w1v, b1v, w1g,
+        b1g, w2, b2
     )
     return vjp(g)
 
@@ -439,14 +444,15 @@ def use_fused_ffn(b: int, t: int, d: int, on_tpu: bool | None = None) -> bool:
     return _pick_tiles(b * t, d) is not None
 
 
-def fused_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-5):
+def fused_ffn(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2, eps=1e-5):
     """LN -> GEGLU -> Dense -> +residual over [B, T, d].
 
     Args:
       x: [B, T, d] activations (bf16 or f32).
       ln_scale, ln_bias: [d] LayerNorm affine (f32).
-      w1: [d, 8d] GEGLU kernel (value columns first, gate columns second).
-      b1: [8d]; w2: [4d, d]; b2: [d].
+      w1v, w1g: [d, 4d] GEGLU value/gate kernels (separate leaves — see
+        models/unet.py GEGLU: TP column-shards each cleanly).
+      b1v, b1g: [4d]; w2: [4d, d]; b2: [d].
     """
     b, t, d = x.shape
     if use_fused_ffn(b, t, d):
@@ -456,5 +462,6 @@ def fused_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-5):
         # 2x int8 MXU rate measured dead neutral (1.030 vs 1.011 ms at
         # m=49152, v5e device profiler) while adding quantization noise.
         # Kept as an opt-in building block for wider-d serving configs.
-        return _fused_ffn_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
-    return _xla_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+        return _fused_ffn_pallas(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g,
+                                 w2, b2, eps)
+    return _xla_ffn(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2, eps)

@@ -39,20 +39,32 @@ DEFAULT_TP_RULES: Sequence[tuple[str, P]] = (
     (r"ffn/filter/kernel$", P(None, MODEL_AXIS)),
     (r"ffn/filter/bias$", P(MODEL_AXIS)),
     (r"ffn/output/kernel$", P(MODEL_AXIS, None)),
-    # U-Net GEGLU feed-forward.  KNOWN LIMITATION: the kernel is the
-    # fused [D, 2F] value|gate projection, so column-sharding places the
-    # value half and the gate half on DISJOINT device groups; the
-    # model's split(h, 2, -1) then makes GSPMD insert a reshard before
-    # the value*gelu(gate) product (correct, but extra ICI traffic vs
-    # true Megatron column parallelism).  The clean fix — two separate
-    # value/gate param leaves with the converter splitting the torch
-    # weight — changes the param-tree contract that the golden suite
-    # and existing checkpoints pin, and TP throughput cannot be
-    # measured on this single-chip bench to justify it; revisit when a
-    # real slice is available.
-    (r"ffn/geglu/dense/kernel$", P(None, MODEL_AXIS)),
-    (r"ffn/geglu/dense/bias$", P(MODEL_AXIS)),
+    # U-Net GEGLU feed-forward: separate value/gate leaves (models/unet.py
+    # GEGLU) column-shard cleanly — the v*gelu(g) product is elementwise
+    # on co-sharded halves, so no collective until the row-parallel output
+    # dense (true Megatron column parallelism; the round-2 fused-leaf
+    # layout forced a GSPMD reshard mid-FFN).
+    (r"ffn/geglu/(value|gate)/kernel$", P(None, MODEL_AXIS)),
+    (r"ffn/geglu/(value|gate)/bias$", P(MODEL_AXIS)),
     (r"ffn/dense/kernel$", P(MODEL_AXIS, None)),
+    # U-Net ResBlock convolutions (the FLOPs majority, SURVEY §2.1):
+    # Megatron-style column->row over the two 3x3 convs.  conv2d_1
+    # output-channel-sharded [3,3,I,O/n]; the time-emb projection and
+    # GN2 affine shard the same channel axis so the inter-conv
+    # activations stay sharded (GroupNorm stats are group-local: 32
+    # groups split contiguously, so any model axis dividing 32 keeps
+    # stats shard-local); conv2d_2 input-channel-sharded [3,3,I/n,O]
+    # contracts the sharded axis away -> one psum at the block boundary.
+    # NOTE the divisibility guard in tp_param_shardings replicates tiny
+    # test configs automatically; the Pallas whole-chain conv kernel is
+    # not SPMD-partitionable, so TP runs route through the dots/emitter
+    # formulations (natively partitionable dot_general/conv HLOs).
+    (r"residual/conv2d_1/kernel$", P(None, None, None, MODEL_AXIS)),
+    (r"residual/conv2d_1/bias$", P(MODEL_AXIS)),
+    (r"residual/dense/kernel$", P(None, MODEL_AXIS)),
+    (r"residual/dense/bias$", P(MODEL_AXIS)),
+    (r"residual/group_norm_2/(scale|bias)$", P(MODEL_AXIS)),
+    (r"residual/conv2d_2/kernel$", P(None, None, MODEL_AXIS, None)),
     # token embedding: shard vocab (gathered once per step)
     (r"token_embedding/embedding$", P(MODEL_AXIS, None)),
 )

@@ -50,6 +50,18 @@ def projection(path, bias=False):
     return dense(path, bias)
 
 
+def geglu(path):
+    """The reference stores ONE fused [D, 2F] kernel + [2F] bias for the
+    GEGLU (unet.py:317-325); our tree splits it into value/gate leaves
+    (models/unet.py GEGLU — TP column parallelism).  These entries draw
+    the reference's fused tensor in one generator call and scatter the
+    column halves, preserving the exact draw sequence."""
+    return [
+        ("params", path, "geglu_kernel"),
+        ("params", path, "geglu_bias"),
+    ]
+
+
 def embedding(path):
     return [("params", path + ("embedding",))]
 
@@ -97,7 +109,7 @@ def _unet_spatial_transformer(path):
         order += projection(block + (att, "key"))
         order += projection(block + (att, "value"))
         order += projection(block + (att, "output"), bias=True)
-    order += dense(block + ("ffn", "geglu", "dense"))
+    order += geglu(block + ("ffn", "geglu"))
     order += dense(block + ("ffn", "dense"))
     order += norm(block + ("layernorm1",))
     order += norm(block + ("layernorm2",))
@@ -308,7 +320,25 @@ def materialize(variables, order, seed=SEED):
     variables = jax.tree.map(lambda x: x, variables)  # shallow copy ok; dicts
     gen = np.random.Generator(np.random.Philox(seed))
     seen = set()
-    for collection, path in order:
+    for entry in order:
+        if len(entry) == 3:  # geglu(): one fused reference draw, two leaves
+            collection, path, kind = entry
+            leaf_name = "kernel" if kind == "geglu_kernel" else "bias"
+            v_path = path + ("value", leaf_name)
+            g_path = path + ("gate", leaf_name)
+            v_leaf = _get(variables[collection], v_path)
+            fused_shape = v_leaf.shape[:-1] + (2 * v_leaf.shape[-1],)
+            fused = (
+                gen.standard_normal(fused_shape).astype(np.float32)
+                * WEIGHT_SCALE
+            )
+            half = v_leaf.shape[-1]
+            _set(variables[collection], v_path, fused[..., :half])
+            _set(variables[collection], g_path, fused[..., half:])
+            seen.add((collection, v_path))
+            seen.add((collection, g_path))
+            continue
+        collection, path = entry
         leaf = _get(variables[collection], path)
         value = gen.standard_normal(leaf.shape).astype(np.float32) * WEIGHT_SCALE
         if collection == "batch_stats" and path[-1] == "var":

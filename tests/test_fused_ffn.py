@@ -20,7 +20,8 @@ def _make(key, b, t, d, dtype=jnp.bfloat16):
         dtype
     )
     b2 = jnp.linspace(-0.1, 0.1, d).astype(dtype)
-    return x, lns, lnb, w1, b1, w2, b2
+    h4 = 4 * d
+    return x, lns, lnb, w1[:, :h4], b1[:h4], w1[:, h4:], b1[h4:], w2, b2
 
 
 @pytest.mark.parametrize(
@@ -107,10 +108,10 @@ def test_gradients_match_xla_reference():
     prev = ff.get_fused_ffn_impl()
     ff.set_fused_ffn_impl("pallas")
     try:
-        g_fused = jax.grad(loss_fused, argnums=(0, 3, 5))(*args)
+        g_fused = jax.grad(loss_fused, argnums=(0, 3, 5, 7))(*args)
     finally:
         ff.set_fused_ffn_impl(prev)
-    g_ref = jax.grad(loss_ref, argnums=(0, 3, 5))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 3, 5, 7))(*args)
     for gf, gr in zip(g_fused, g_ref):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gr), rtol=2e-3, atol=2e-3
@@ -134,8 +135,9 @@ def test_dispatch_predicate():
 
 def test_model_param_tree_unchanged():
     """The FeedForward/LayerNorm refactor must keep the exact checkpoint
-    param paths (layernorm3/{scale,bias}, ffn/geglu/dense/{kernel,bias},
-    ffn/dense/{kernel,bias}) with nn.Dense/nn.LayerNorm shapes+dtypes."""
+    param paths (layernorm3/{scale,bias}, ffn/geglu/{value,gate}/
+    {kernel,bias}, ffn/dense/{kernel,bias}) with nn.Dense/nn.LayerNorm
+    shapes+dtypes."""
     import flax
 
     from ldm_tf2_tpu.models.unet import BasicTransformerBlock
@@ -150,8 +152,10 @@ def test_model_param_tree_unchanged():
     expect = {
         "layernorm3/scale": (64,),
         "layernorm3/bias": (64,),
-        "ffn/geglu/dense/kernel": (64, 512),
-        "ffn/geglu/dense/bias": (512,),
+        "ffn/geglu/value/kernel": (64, 256),
+        "ffn/geglu/value/bias": (256,),
+        "ffn/geglu/gate/kernel": (64, 256),
+        "ffn/geglu/gate/bias": (256,),
         "ffn/dense/kernel": (256, 64),
         "ffn/dense/bias": (64,),
     }

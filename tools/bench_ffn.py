@@ -131,8 +131,10 @@ def main():
         from ldm_tf2_tpu.ops.fused_ffn import fused_ffn
 
         def v3(p, x):
+            h4 = p["w2"].shape[0]
             return fused_ffn(
-                x, p["ln_scale"], p["ln_bias"], p["w1"], p["b1"],
+                x, p["ln_scale"], p["ln_bias"], p["w1"][:, :h4],
+                p["b1"][:h4], p["w1"][:, h4:], p["b1"][h4:],
                 p["w2"], p["b2"],
             )
 

@@ -107,14 +107,34 @@ def make_production_sd(seed: int = 20260817) -> dict:
 
 
 def flatten_ours(tree: dict, order) -> list[np.ndarray]:
-    """Flatten a converted param tree through a golden_utils Keras order."""
-    out = []
-    for collection, path in order:
-        assert collection == "params", (collection, path)
+    """Flatten a converted param tree through a golden_utils Keras order.
+
+    GEGLU entries (3-tuples) re-fuse our value/gate leaves into the
+    reference's single [D, 2F] tensor (value columns first) so the
+    elementwise comparison against the reference converter still holds.
+    """
+
+    def get(path):
         node = tree
         for k in path:
             node = node[k]
-        out.append(np.asarray(node))
+        return np.asarray(node)
+
+    out = []
+    for entry in order:
+        if len(entry) == 3:
+            collection, path, kind = entry
+            leaf = "kernel" if kind == "geglu_kernel" else "bias"
+            out.append(
+                np.concatenate(
+                    [get(path + ("value", leaf)), get(path + ("gate", leaf))],
+                    axis=-1,
+                )
+            )
+            continue
+        collection, path = entry
+        assert collection == "params", (collection, path)
+        out.append(get(path))
     return out
 
 

@@ -37,8 +37,10 @@ def main():
         p = {
             "ln_scale": jnp.ones((d,), jnp.float32),
             "ln_bias": jnp.zeros((d,), jnp.float32),
-            "w1": (jax.random.normal(key, (d, 8 * d)) * d ** -0.5).astype(dtype),
-            "b1": jnp.zeros((8 * d,), dtype),
+            "w1v": (jax.random.normal(key, (d, 4 * d)) * d ** -0.5).astype(dtype),
+            "b1v": jnp.zeros((4 * d,), dtype),
+            "w1g": (jax.random.normal(key, (d, 4 * d)) * d ** -0.5).astype(dtype),
+            "b1g": jnp.zeros((4 * d,), dtype),
             "w2": (jax.random.normal(key, (4 * d, d)) * d ** -0.5).astype(dtype),
             "b2": jnp.zeros((d,), dtype),
         }
@@ -49,8 +51,9 @@ def main():
 
             def run(p, x, _tm=tm, _d=d):
                 return ff._pallas_ffn(
-                    x, p["ln_scale"], p["ln_bias"], p["w1"], p["b1"],
-                    p["w2"], p["b2"], 1e-5, tiles=(_tm, 4 * _d),
+                    x, p["ln_scale"], p["ln_bias"], p["w1v"], p["b1v"],
+                    p["w1g"], p["b1g"], p["w2"], p["b2"], 1e-5,
+                    tiles=(_tm, 4 * _d),
                 )
 
             run.__name__ = f"ffn_{name}_tm{tm}"

@@ -9,10 +9,12 @@ sample grids); this CLI closes the loop quantitatively:
       [--clip_weights_path <dir> --prompts_path prompts.txt]
 
 Inputs are .npy image stacks ([N, H, W, 3], uint8 or float in [-1, 1])
-or directories of .npy stacks (concatenated).  Features come from the
-LPIPS checkpoint's VGG16 trunk (a perceptual "VGG-FID", eval/fid.py);
-plug an Inception extractor into eval.fid_from_features for the
-paper-standard number.  Prints one JSON line.
+or directories of .npy stacks (concatenated).  `--extractor vgg`
+(default) uses the LPIPS checkpoint's VGG16 trunk — a perceptual
+"VGG-FID" that is always available offline but NOT comparable to
+published numbers; `--extractor inception --inception_weights_path
+<pth>` computes the paper-standard InceptionV3 pool3 FID
+(eval/inception.py).  Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -34,6 +36,14 @@ define_string("clip_weights_path", None,
               "Optional local transformers-format CLIP dir for CLIP score.")
 define_string("prompts_path", None,
               "Optional text file, one prompt per line (for CLIP score).")
+define_string("extractor", "vgg",
+              "Feature extractor: 'vgg' (always available, LPIPS-trunk "
+              "VGG-FID — NOT comparable to published numbers) or "
+              "'inception' (the paper-standard InceptionV3 pool3 FID; "
+              "needs --inception_weights_path).")
+define_string("inception_weights_path", None,
+              "Local torchvision inception_v3 / pytorch-fid state_dict "
+              "(.pth) for --extractor inception.")
 
 FLAGS = flags.FLAGS
 
@@ -68,16 +78,26 @@ def load_images(path: str) -> np.ndarray:
 
 def main(_):
     from ldm_tf2_tpu.checkpoints.manager import load_params
+    from ldm_tf2_tpu.configs.loader import _TPU_DEFAULTS
     from ldm_tf2_tpu.eval import (
         clip_score,
         fid_from_features,
         vgg_feature_extractor,
     )
+    from ldm_tf2_tpu.factory import enable_compile_cache
+
+    # no YAML here (pure flag-driven eval) — use the default cache dir so
+    # repeat evals skip the extractor compile
+    enable_compile_cache(_TPU_DEFAULTS["compile_cache_dir"])
 
     if FLAGS.clip_weights_path and not FLAGS.prompts_path:
         # validate BEFORE the (expensive) FID pass: failing at the CLIP
         # block after feature extraction would lose the whole eval
         raise ValueError("--clip_weights_path requires --prompts_path")
+    if FLAGS.extractor not in ("vgg", "inception"):
+        raise ValueError(
+            f"--extractor must be vgg|inception, got {FLAGS.extractor!r}"
+        )
 
     generated = load_images(FLAGS.generated)
     real = load_images(FLAGS.real)
@@ -87,12 +107,20 @@ def main(_):
             f"{real.shape[1:]}"
         )
 
-    lpips_params = load_params(FLAGS.lpips_ckpt_path)
-    features = vgg_feature_extractor(lpips_params)
+    if FLAGS.extractor == "vgg" and not FLAGS.lpips_ckpt_path:
+        raise ValueError("--extractor vgg requires --lpips_ckpt_path")
+    if FLAGS.extractor == "inception":
+        from ldm_tf2_tpu.eval.inception import inception_feature_extractor
+
+        # raises with download instructions when the weights are absent
+        features = inception_feature_extractor(FLAGS.inception_weights_path)
+    else:
+        lpips_params = load_params(FLAGS.lpips_ckpt_path)
+        features = vgg_feature_extractor(lpips_params)
     fid = fid_from_features(features(real), features(generated))
 
     result = {
-        "metric": "vgg_fid",
+        "metric": "vgg_fid" if FLAGS.extractor == "vgg" else "inception_fid",
         "fid": round(fid, 6),
         "num_generated": int(generated.shape[0]),
         "num_real": int(real.shape[0]),
@@ -114,5 +142,4 @@ def main(_):
 if __name__ == "__main__":
     flags.mark_flag_as_required("generated")
     flags.mark_flag_as_required("real")
-    flags.mark_flag_as_required("lpips_ckpt_path")
     app.run(main)

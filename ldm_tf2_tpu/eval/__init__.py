@@ -8,6 +8,7 @@ from ldm_tf2_tpu.eval.fid import (
     frechet_distance,
     vgg_feature_extractor,
 )
+from ldm_tf2_tpu.eval.inception import inception_feature_extractor
 
 __all__ = [
     "frechet_distance",
@@ -15,4 +16,5 @@ __all__ = [
     "fid_from_features",
     "vgg_feature_extractor",
     "clip_score",
+    "inception_feature_extractor",
 ]

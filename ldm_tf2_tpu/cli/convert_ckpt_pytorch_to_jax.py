@@ -25,8 +25,75 @@ flags.DEFINE_string("out_dir", ".", "Output directory for artifacts.")
 flags.DEFINE_bool(
     "verify", True, "Init models and verify structural coverage before saving."
 )
+flags.DEFINE_bool(
+    "validate_only", False,
+    "Diff the state_dict's keys/shapes against the committed CompVis key "
+    "manifest and print a go/no-go verdict WITHOUT converting or saving — "
+    "the one-command rehearsal for the day the real txt2img-f8-large "
+    "checkpoint is available (exit 0 = go).",
+)
+flags.DEFINE_string(
+    "key_manifest_path", "",
+    "Key manifest for --validate_only (default: the committed "
+    "tests/goldens/compvis_key_manifest.json).",
+)
 
 FLAGS = flags.FLAGS
+
+
+def default_manifest_path() -> str:
+    import ldm_tf2_tpu
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(ldm_tf2_tpu.__file__)),
+        "tests", "goldens", "compvis_key_manifest.json",
+    )
+
+
+def validate_state_dict(sd, manifest: dict):
+    """Diff `sd` (mapping key -> array-like with .shape) against the key
+    manifest produced by tools/crosscheck_converter.py.
+
+    Returns (ok, report_lines): ok is True when every model key the
+    reference converter reads (convert_ckpt_pytorch_to_tf2.py:23-372) is
+    present at the expected shape.  Keys the converter ignores (schedule
+    buffers, LitEma shadows) and unknown extras are reported but do not
+    block — the conversion never reads them.
+    """
+    expected = manifest["model_keys"]
+    ignored = set(manifest["ignored_keys"])
+    lines = []
+
+    def shape_of(v):
+        return list(getattr(v, "shape", np.shape(v)))
+
+    missing = sorted(k for k in expected if k not in sd)
+    mismatched = sorted(
+        k for k in expected
+        if k in sd and shape_of(sd[k]) != list(expected[k])
+    )
+    extra = sorted(k for k in sd if k not in expected and k not in ignored)
+
+    for k in missing:
+        lines.append(f"MISSING  {k}  expected shape {expected[k]}")
+    for k in mismatched:
+        lines.append(
+            f"SHAPE    {k}  expected {expected[k]}, "
+            f"got {shape_of(sd[k])}"
+        )
+    for k in extra:
+        lines.append(f"EXTRA    {k}  (unknown key; conversion ignores it)")
+
+    ok = not missing and not mismatched
+    lines.append(
+        f"{len(expected) - len(missing) - len(mismatched)}/{len(expected)} "
+        f"model keys match; {len(missing)} missing, {len(mismatched)} "
+        f"shape mismatches, {len(extra)} unknown extras"
+    )
+    lines.append("GO: state_dict matches the CompVis manifest — run the "
+                 "conversion" if ok else
+                 "NO-GO: state_dict does not match the CompVis manifest")
+    return ok, lines
 
 
 def get_state_dict(path: str):
@@ -69,6 +136,17 @@ def main(_):
     )
     from ldm_tf2_tpu.checkpoints.manager import save_params
     from ldm_tf2_tpu.configs import load_config
+
+    if FLAGS.validate_only:
+        sd = get_state_dict(FLAGS.pytorch_ckpt_path)
+        print(f"[INFO] Loaded state_dict with {len(sd)} tensors.")
+        manifest_path = FLAGS.key_manifest_path or default_manifest_path()
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        ok, lines = validate_state_dict(sd, manifest)
+        for line in lines:
+            print(f"[VALIDATE] {line}")
+        raise SystemExit(0 if ok else 1)
 
     config = load_config(FLAGS.config_path)
     sd = get_state_dict(FLAGS.pytorch_ckpt_path)

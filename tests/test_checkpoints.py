@@ -479,3 +479,44 @@ def test_converter_cli_end_to_end(tmp_path, rng):
         jnp.zeros((1, 8, 32)),
     )
     assert np.all(np.isfinite(out))
+
+
+def test_validate_only_manifest_diff():
+    """--validate_only rehearsal (VERDICT r2 #8): a state_dict matching the
+    committed CompVis key manifest gets GO; a missing key or wrong shape
+    gets NO-GO naming the offender.  Shapes only — no tensor data needed."""
+    import json
+    import types
+
+    from ldm_tf2_tpu.cli.convert_ckpt_pytorch_to_jax import (
+        default_manifest_path,
+        validate_state_dict,
+    )
+
+    with open(default_manifest_path()) as f:
+        manifest = json.load(f)
+
+    # fabricate a shape-only state_dict straight from the manifest
+    sd = {
+        k: types.SimpleNamespace(shape=tuple(shape))
+        for k, shape in manifest["model_keys"].items()
+    }
+    for k in manifest["ignored_keys"]:
+        sd[k] = types.SimpleNamespace(shape=(1,))
+
+    ok, lines = validate_state_dict(sd, manifest)
+    assert ok, lines[-5:]
+    assert lines[-1].startswith("GO")
+
+    # corrupt: drop one key, break one shape, add an unknown extra
+    victim_missing, victim_shape = sorted(manifest["model_keys"])[:2]
+    del sd[victim_missing]
+    sd[victim_shape] = types.SimpleNamespace(shape=(1, 2, 3))
+    sd["totally.unknown.key"] = types.SimpleNamespace(shape=(4,))
+    ok, lines = validate_state_dict(sd, manifest)
+    assert not ok
+    report = "\n".join(lines)
+    assert f"MISSING  {victim_missing}" in report
+    assert f"SHAPE    {victim_shape}" in report
+    assert "EXTRA    totally.unknown.key" in report
+    assert lines[-1].startswith("NO-GO")

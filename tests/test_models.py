@@ -23,6 +23,8 @@ from ldm_tf2_tpu.models.unet import get_time_embedding
 from ldm_tf2_tpu.ops.resize import nearest_upsample_2x
 
 
+pytestmark = pytest.mark.fast  # per-session green-check tier
+
 def test_time_embedding_cos_first():
     emb = get_time_embedding(jnp.array([0.0, 1.0]), 8)
     assert emb.shape == (2, 8)

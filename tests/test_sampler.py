@@ -13,6 +13,9 @@ from ldm_tf2_tpu.diffusion.sampler import (
 )
 
 
+import pytest
+pytestmark = pytest.mark.fast  # per-session green-check tier
+
 def zero_eps_model(xt, t, cond):
     return jnp.zeros_like(xt)
 

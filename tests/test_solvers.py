@@ -2,6 +2,8 @@
 
 Strategy: a diffusion process whose optimal eps-predictor is known in
 closed form — data x0 ~ N(mu, s^2 I) gives marginals
+pytestmark = pytest.mark.fast  # per-session green-check tier
+
 xt ~ N(a mu, v I), v = a^2 s^2 + sigma^2 (a = sqrt(acp), sigma^2 = 1-acp),
 and the posterior-mean predictor
   E[eps | xt] = sigma (xt - a mu) / v.

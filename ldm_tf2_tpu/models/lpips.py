@@ -18,10 +18,16 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-SHIFT = jnp.array([-0.030, -0.088, -0.188], dtype=jnp.float32)
-SCALE = jnp.array([0.458, 0.448, 0.450], dtype=jnp.float32)
+# numpy (not jnp) on purpose: module-level device arrays would initialize
+# the JAX backend at import time — before a CLI main() can honor
+# JAX_PLATFORMS=cpu (parallel/mesh.py) — and cost an eager device
+# round-trip through the TPU tunnel on every process start.  Inside jit
+# these fold to compile-time constants either way.
+SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
+SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
 
 _STAGE_CHANNELS = (64, 128, 256, 512, 512)
 _STAGE_DEPTHS = (2, 2, 3, 3, 3)

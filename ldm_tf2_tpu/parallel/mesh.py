@@ -29,7 +29,15 @@ MODEL_AXIS = "model"
 
 def maybe_initialize_distributed() -> None:
     """Initialize JAX's multi-host runtime when launched under a cluster
-    (no-op single-process; the reference has no multi-host story at all)."""
+    (no-op single-process; the reference has no multi-host story at all).
+
+    Also honors ``JAX_PLATFORMS=cpu`` explicitly: some TPU plugins
+    (e.g. the axon sitecustomize) force-select their platform even when
+    the env var is exported, so a CLI launched for a CPU run would
+    silently grab the TPU.  Called first in every CLI main — before any
+    backend-initializing jax call — so the override lands in time."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
 

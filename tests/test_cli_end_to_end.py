@@ -287,6 +287,37 @@ def test_config_loader_validates_deepcache_keys(workspace):
         load_config(path)
 
 
+def test_config_loader_rejects_bool_numeric_keys(workspace):
+    # bool is an int subclass — YAML `guidance_rescale: true` must be a
+    # config error, not a silent phi=1.0 (ADVICE r2).
+    import pytest
+    import yaml as _yaml
+
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    with open(config_path) as f:
+        base = _yaml.safe_load(f)
+
+    def write(section, key):
+        cfg = _yaml.safe_load(_yaml.safe_dump(base))
+        cfg.setdefault(section, {})[key] = True
+        path = str(root / "config_bool_check.yaml")
+        with open(path, "w") as f:
+            _yaml.safe_dump(cfg, f)
+        return path
+
+    for section, key in [
+        ("ldm_sampling", "guidance_rescale"),
+        ("ldm_sampling", "strength"),
+        ("ldm_sampling", "cache_interval"),
+        ("ldm_sampling", "cache_levels"),
+        ("ldm_training", "grad_accum_steps"),
+    ]:
+        with pytest.raises(ValueError, match=key):
+            load_config(write(section, key))
+
+
 def test_cast_inference_params(workspace):
     import jax.numpy as jnp
 
@@ -457,6 +488,61 @@ def test_sampler_cli_data_parallel(workspace):
     assert images.shape == (8, IMG, IMG, 3)
 
 
+def test_run_eval_cli_inception_extractor(workspace):
+    """--extractor inception: the paper-standard pool3 FID path through
+    the CLI with a synthetic torch .pth; missing weights error with
+    download instructions (VERDICT r2 #4)."""
+    import contextlib
+    import io
+
+    import torch
+
+    from ldm_tf2_tpu.cli import run_eval
+    from ldm_tf2_tpu.eval.inception import (
+        make_synthetic_inception_state_dict,
+    )
+
+    root, config_path = workspace
+    os.chdir(root)
+    rng = np.random.RandomState(1)
+    real = rng.randint(0, 256, (4, IMG, IMG, 3), dtype=np.uint8)
+    np.save(root / "inc_real.npy", real)
+    np.save(root / "inc_same.npy", real.copy())
+
+    sd = make_synthetic_inception_state_dict(seed=2)
+    pth = str(root / "inception_synth.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, pth)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _run_cli(
+            run_eval,
+            [
+                "run_eval",
+                f"--generated={root / 'inc_same.npy'}",
+                f"--real={root / 'inc_real.npy'}",
+                "--extractor=inception",
+                f"--inception_weights_path={pth}",
+            ],
+        )
+    out = [json.loads(l) for l in buf.getvalue().splitlines()
+           if l.startswith("{")][-1]
+    assert out["metric"] == "inception_fid"
+    assert out["fid"] < 1e-4
+
+    # weights-gated: clear error naming where to get the weights
+    with pytest.raises(RuntimeError, match="pt_inception|inception_v3"):
+        _run_cli(
+            run_eval,
+            [
+                "run_eval",
+                f"--generated={root / 'inc_same.npy'}",
+                f"--real={root / 'inc_real.npy'}",
+                "--extractor=inception",
+            ],
+        )
+
+
 def test_ae_trainer_cli(workspace):
     from ldm_tf2_tpu.cli import run_autoencoder_trainer
 
@@ -594,6 +680,125 @@ def test_serve_ldm_loop(workspace):
         assert images.shape == (2, IMG, IMG, 3)
         assert images.dtype == np.uint8
     assert not (root / "r3.npy").exists()
+
+
+def test_compile_cache_populated_and_reused(tmp_path):
+    """factory.enable_compile_cache: a compile populates the on-disk XLA
+    cache; a post-clear_caches recompile of the same program is served
+    from disk (no rewrite — mtimes unchanged). This is the mechanism every
+    CLI now gets through apply_tpu_settings (VERDICT r2 #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_tf2_tpu import factory
+
+    cache_dir = str(tmp_path / "xla_cache")
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        out = factory.enable_compile_cache(cache_dir, min_compile_seconds=0.0)
+        assert out == cache_dir and os.path.isdir(cache_dir)
+
+        def f(x):
+            return jnp.tanh(x @ x.T).sum()
+
+        x = jnp.arange(256.0).reshape(16, 16)
+        first = np.asarray(jax.jit(f)(x))
+        files = {
+            p: os.path.getmtime(os.path.join(cache_dir, p))
+            for p in os.listdir(cache_dir)
+        }
+        assert files, "compile did not populate the persistent cache"
+
+        jax.clear_caches()  # drop the in-memory executable
+        second = np.asarray(jax.jit(f)(x))
+        np.testing.assert_array_equal(first, second)
+        after = {
+            p: os.path.getmtime(os.path.join(cache_dir, p))
+            for p in os.listdir(cache_dir)
+        }
+        assert after == files, "recompile rewrote the cache instead of reusing"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", prev_size
+        )
+
+
+def test_aot_compile_or_load_round_trip(tmp_path):
+    """factory.aot_compile_or_load: cold call compiles + writes the
+    executable artifact; a fresh jit warm call deserializes it (source
+    'aot-cache') and computes identical values; a corrupt artifact falls
+    back to a fresh compile."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_tf2_tpu import factory
+
+    path = str(tmp_path / "pipeline.aotexec")
+
+    def f(x):
+        return (x * 2.0 + 1.0).sum(axis=1)
+
+    args = (jnp.arange(32.0).reshape(4, 8),)
+    cold_fn, how = factory.aot_compile_or_load(jax.jit(f), args, path)
+    assert how == "compiled" and os.path.exists(path)
+    cold = np.asarray(cold_fn(*args))
+
+    warm_fn, how = factory.aot_compile_or_load(jax.jit(f), args, path)
+    assert how == "aot-cache"
+    np.testing.assert_array_equal(cold, np.asarray(warm_fn(*args)))
+
+    notes = []
+    with open(path, "wb") as fh:
+        fh.write(b"corrupt")
+    fb_fn, how = factory.aot_compile_or_load(
+        jax.jit(f), args, path, note=notes.append
+    )
+    assert how == "compiled"
+    assert any("load failed" in n for n in notes)
+    np.testing.assert_array_equal(cold, np.asarray(fb_fn(*args)))
+    # the fallback compile must repair the artifact for the next start
+    repaired_fn, how = factory.aot_compile_or_load(jax.jit(f), args, path)
+    assert how == "aot-cache"
+
+
+def test_serve_ldm_aot_cache_cold_then_warm(workspace, capsys):
+    """serve --aot_cache: the first server start writes the serialized
+    pipeline executable; a restarted server deserializes it (AOT warm
+    start — no trace, no compile) and produces identical images."""
+    import io
+
+    from ldm_tf2_tpu.cli.serve_ldm import serve
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    os.chdir(root)
+    cfg = load_config(config_path)
+    aot_path = str(root / "serve.aotexec")
+    req = '{"prompt": "guitar", "seed": 7, "out": "%s"}\n'
+
+    out = io.StringIO()
+    serve(cfg, io.StringIO(req % "aot_cold"), out, output_dir=str(root),
+          aot_cache_path=aot_path)
+    assert os.path.exists(aot_path)
+    assert json.loads(out.getvalue().splitlines()[0])["ok"]
+    cold_err = capsys.readouterr().err
+    assert "compiled + warm" in cold_err
+
+    out = io.StringIO()
+    serve(cfg, io.StringIO(req % "aot_warm"), out, output_dir=str(root),
+          aot_cache_path=aot_path)
+    assert json.loads(out.getvalue().splitlines()[0])["ok"]
+    warm_err = capsys.readouterr().err
+    assert "AOT warm start + warm" in warm_err
+    np.testing.assert_array_equal(
+        np.load(root / "aot_cold.npy"), np.load(root / "aot_warm.npy")
+    )
 
 
 def test_serve_ldm_microbatching(workspace):
@@ -915,3 +1120,142 @@ def test_serve_ldm_bf16_compute(workspace):
     images = np.load(resps[0]["out"])
     assert images.shape == (2, IMG, IMG, 3)
     assert images.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_ldm_trainer_crash_resume_exact(workspace):
+    """Preemption semantics (VERDICT r2 #6): SIGKILL run_ldm_trainer
+    between checkpoints, restart, and the resumed run must reproduce the
+    uninterrupted run exactly — same per-step losses, identical final
+    checkpoint — under tpu.deterministic_data (batch at step s is a pure
+    function of (seed, s)) + the step-folded train-step rng."""
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    root, config_path = workspace
+    os.chdir(root)
+
+    big_dir = root / "images_captions_big"
+    if not big_dir.exists():
+        big_dir.mkdir()
+        with TFRecordWriter(str(big_dir / "data.tfrecord")) as w:
+            for rep in range(4):
+                for p in sorted((root / "raw").glob("*.jpg")):
+                    with open(p, "rb") as f:
+                        img_bytes = f.read()
+                    w.write(encode_example(
+                        {"image": img_bytes,
+                         "caption": [102, 104, 105, 106] + [0] * 4}
+                    ))
+
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["tpu"]["deterministic_data"] = True
+    cfg["tpu"]["persist_per_iterations"] = 2
+    cfg["tpu"]["log_per_iterations"] = 1
+    cfg["ldm_training"]["root_path"] = str(big_dir)
+    cfg["ldm_training"]["num_iterations"] = 6
+
+    import ldm_tf2_tpu
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # the subprocess runs from the tmp workdir; make the repo importable
+    repo_root = os.path.dirname(os.path.dirname(ldm_tf2_tpu.__file__))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+
+    def launch(tag):
+        cfg["ldm_training"]["ckpt_path"] = str(root / f"ldm_crash_{tag}")
+        path = str(root / f"config_crash_{tag}.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        log = open(root / f"crash_{tag}.log", "ab")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "ldm_tf2_tpu.cli.run_ldm_trainer",
+             f"--config_path={path}"],
+            cwd=str(root), env=env, stdout=log, stderr=subprocess.STDOUT,
+        )
+        return proc, log
+
+    def wait_done(proc, log, timeout=900):
+        assert proc.wait(timeout=timeout) == 0, read_log(log)
+        log.close()
+
+    def read_log(log):
+        # the child owns its fd copy; its writes land in the file without
+        # any parent-side flush (and the parent handle may be closed)
+        with open(log.name) as f:
+            return f.read()
+
+    def losses(text):
+        return {
+            int(m.group(1)): float(m.group(2))
+            for m in re.finditer(r"step (\d+) \| loss: ([\d.eE+-]+)", text)
+        }
+
+    # A: uninterrupted
+    proc, log = launch("a")
+    wait_done(proc, log)
+    losses_a = losses(read_log(log))
+    assert set(losses_a) == {1, 2, 3, 4, 5, 6}, losses_a
+
+    # B: kill once the step-2 checkpoint is durable and step 3 has run
+    proc, log = launch("b")
+    deadline = time.time() + 900
+    while time.time() < deadline:
+        text = read_log(log)
+        if "step 3 |" in text and (root / "ldm_crash_b" / "2").exists():
+            break
+        if proc.poll() is not None:
+            raise AssertionError(f"trainer exited early:\n{text}")
+        time.sleep(2.0)
+    else:
+        raise AssertionError(f"never reached kill point:\n{read_log(log)}")
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait()
+    losses_b1 = losses(read_log(log))
+    log.close()
+
+    # restart: must resume from step 2 and replay 3..6 identically
+    proc, log = launch("b")
+    wait_done(proc, log)
+    text = read_log(log)
+    assert "Restored checkpoint at step 2" in text, text
+    # the log file is append-mode, so the killed run's steps 1-3 are
+    # still in the text; the restart must contribute 3..6 (step 3's
+    # value is the restart's — dict keeps the last match)
+    losses_b2 = losses(text)
+    assert {3, 4, 5, 6} <= set(losses_b2), losses_b2
+
+    for s, v in losses_b1.items():
+        np.testing.assert_allclose(v, losses_a[s], rtol=1e-5, err_msg=str(s))
+    for s, v in losses_b2.items():
+        np.testing.assert_allclose(v, losses_a[s], rtol=1e-5, err_msg=str(s))
+
+    # final checkpoints identical leaf-for-leaf
+    import orbax.checkpoint as ocp
+
+    def final_state(tag):
+        mgr = ocp.CheckpointManager(str(root / f"ldm_crash_{tag}"))
+        step = mgr.latest_step()
+        assert step == 6, step
+        state = mgr.restore(step)
+        mgr.close()
+        return state
+
+    import jax
+
+    sa, sb = final_state("a"), final_state("b")
+    flat_a = jax.tree_util.tree_flatten_with_path(sa)[0]
+    flat_b = {tuple(str(k) for k in p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(sb)[0]}
+    assert len(flat_a) == len(flat_b) and len(flat_a) > 0
+    for p, va in flat_a:
+        key = tuple(str(k) for k in p)
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(flat_b[key]), err_msg=str(key)
+        )

@@ -99,13 +99,17 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ldm_trace"
     if mode == "unet512":
         fn, args = build_unet_eval(batch=4, latent=64)
+    elif mode == "unet1024":
+        # the `bench.py ultra` serving shape: 128x128 latents, CFG batch
+        # 2x2 (16384-token L0 self-attention through the flash kernel)
+        fn, args = build_unet_eval(batch=2, latent=128)
     elif mode == "unet":
         fn, args = build_unet_eval()
     elif mode == "train":
         fn, args = build_train_step()
     else:
         raise SystemExit(
-            f"unknown mode {mode!r} (use: unet | unet512 | train)"
+            f"unknown mode {mode!r} (use: unet | unet512 | unet1024 | train)"
         )
     print("[profile] compiling...", flush=True)
     out = fn(*args)

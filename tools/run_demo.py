@@ -55,12 +55,13 @@ def init_artifacts():
     key = jax.random.PRNGKey(0)
     x = jnp.zeros((1, 32, 32, 3))
     lpips_params = LPIPS().init(key, x, x)["params"]
-    save_params(config["lpips_ckpt_path"], lpips_params)
+    save_params(config["lpips_ckpt_path"], lpips_params, overwrite=True)
 
     cond = factory.build_cond_model(config)
     ids = jnp.zeros((1, config["cond_stage_model"]["max_seq_len"]), jnp.int32)
     cond_params = cond.init(key, ids)["params"]
-    save_params(config["pre_ckpt_paths"]["cond_stage_model"], cond_params)
+    save_params(config["pre_ckpt_paths"]["cond_stage_model"], cond_params,
+                overwrite=True)
     print("[demo] wrote random-init lpips + cond artifacts")
 
 

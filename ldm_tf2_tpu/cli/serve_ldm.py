@@ -259,13 +259,32 @@ def build_server(config, aot_cache_path: str = ""):
         how = "compiled"
         if aot_cache_path:
             token_ids, key, guidance = prep_inputs(*warm_args, 0)
+            jit_fn = exec_ref["fn"]
             exec_ref["fn"], how = factory.aot_compile_or_load(
-                exec_ref["fn"],
+                jit_fn,
                 (params, token_ids, key, guidance),
                 aot_cache_path,
                 note=lambda m: print(f"[serve] {m}", file=sys.stderr),
             )
-        run_batch(*warm_args, 0)
+            if how == "aot-cache":
+                # the warm call doubles as verification: an artifact can
+                # deserialize yet fail at execute (e.g. loaded into a
+                # process whose runtime state clashes) — fall back to a
+                # fresh compile rather than serving errors
+                try:
+                    run_batch(*warm_args, 0)
+                except Exception as e:
+                    print(
+                        f"[serve] AOT executable failed at run "
+                        f"({type(e).__name__}); recompiling",
+                        file=sys.stderr,
+                    )
+                    exec_ref["fn"], how = jit_fn, "compiled"
+                    run_batch(*warm_args, 0)
+            else:
+                run_batch(*warm_args, 0)
+        else:
+            run_batch(*warm_args, 0)
         label = {"aot-cache": "AOT warm start", "compiled": "compiled"}[how]
         print(
             f"[serve] {label} + warm in {time.perf_counter() - t0:.1f}s",

@@ -39,6 +39,7 @@ def enable_compile_cache(
         return None
     cache_dir = os.path.expanduser(cache_dir)
     os.makedirs(cache_dir, exist_ok=True)
+    changed = jax.config.jax_compilation_cache_dir != cache_dir
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", min_compile_seconds
@@ -46,6 +47,16 @@ def enable_compile_cache(
     # cache regardless of entry size — the pipeline executables we care
     # about are all large, and tiny helper fns are filtered by time above
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    if changed:
+        # the cache object is a lazily-initialized singleton: once any
+        # compile has touched the OLD dir, a config update alone is
+        # silently ignored — reset so the new dir takes effect
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass
     return cache_dir
 
 

@@ -45,13 +45,35 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
 
     def restore_latest(self, abstract_state: Any) -> tuple[int, Any] | None:
-        """Restore the newest checkpoint, or None when starting fresh."""
+        """Restore the newest checkpoint, or None when starting fresh.
+
+        Training-state checkpoints saved before the GEGLU value/gate split
+        carry fused ``geglu/dense`` leaves everywhere the param tree is
+        mirrored (params, EMA, Adam moments) and fail a StandardRestore
+        against the new abstract tree with a structure mismatch (ADVICE
+        r3).  On that failure, re-restore against a legacy-shaped abstract
+        tree (value/gate leaves re-fused) and split the restored arrays
+        with `migrate_legacy_params` — so pre-split runs resume exactly.
+        """
         step = self._mgr.latest_step()
         if step is None:
             return None
-        state = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract_state)
-        )
+        try:
+            state = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract_state)
+            )
+        except Exception:
+            legacy = fuse_abstract_geglu(abstract_state)
+            import jax
+
+            if jax.tree_util.tree_structure(
+                legacy
+            ) == jax.tree_util.tree_structure(abstract_state):
+                raise  # no geglu leaves to migrate — a genuine mismatch
+            state = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(legacy)
+            )
+            state = migrate_legacy_state(state)
         return step, state
 
     def wait(self) -> None:
@@ -96,6 +118,59 @@ def migrate_legacy_params(params: Any) -> Any:
         else:
             migrate_legacy_params(child)
     return params
+
+
+def _fuse_geglu_dict(d: dict) -> dict:
+    """Reverse migration over a pure-dict subtree: value/gate abstract
+    leaves re-fused into the legacy single ``dense`` leaf (value columns
+    first), so a pre-split checkpoint's tree structure can be restored."""
+    import jax
+
+    out = {}
+    for key, child in d.items():
+        if (
+            key == "geglu"
+            and isinstance(child, dict)
+            and set(child) == {"value", "gate"}
+        ):
+            fused = {}
+            for leaf in child["value"]:
+                val, gate = child["value"][leaf], child["gate"][leaf]
+                shape = tuple(val.shape[:-1]) + (
+                    val.shape[-1] + gate.shape[-1],
+                )
+                fused[leaf] = jax.ShapeDtypeStruct(
+                    shape, val.dtype, sharding=getattr(val, "sharding", None)
+                )
+            out[key] = {"dense": fused}
+        elif isinstance(child, dict):
+            out[key] = _fuse_geglu_dict(child)
+        else:
+            out[key] = child
+    return out
+
+
+def _map_dict_subtrees(fn, tree: Any) -> Any:
+    """Apply `fn` to every maximal pure-dict subtree of an arbitrary
+    pytree (train states are dataclasses/NamedTuples whose param trees —
+    params, EMA, optimizer moments — are the dict subtrees)."""
+    import jax
+
+    is_dict = lambda x: isinstance(x, dict)  # noqa: E731
+    leaves, treedef = jax.tree_util.tree_flatten(tree, is_leaf=is_dict)
+    leaves = [fn(l) if isinstance(l, dict) else l for l in leaves]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def fuse_abstract_geglu(abstract_state: Any) -> Any:
+    """Legacy-shaped abstract train state: every geglu value/gate pair in
+    any dict subtree (params, EMA, Adam mu/nu) re-fused to ``dense``."""
+    return _map_dict_subtrees(_fuse_geglu_dict, abstract_state)
+
+
+def migrate_legacy_state(state: Any) -> Any:
+    """`migrate_legacy_params` over every dict subtree of a train state."""
+    return _map_dict_subtrees(migrate_legacy_params, state)
 
 
 def load_params(directory: str, abstract_params: Any = None) -> Any:

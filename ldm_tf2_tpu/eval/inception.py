@@ -16,15 +16,20 @@ The graph itself is validated with synthetic random weights
 (tests/test_eval.py): structure, feature dimensionality, and
 FID(x, x) == 0 do not need trained weights.
 
-Faithfulness notes (what makes Inception-FID numbers comparable):
+Faithfulness notes — the graph matches pytorch-fid's ``FIDInceptionV3``
+(the wrapper behind every published pytorch-fid number), so features are
+comparable when the ``pt_inception-2015-12-05`` weights are supplied:
   * input: images in [-1, 1], bilinearly resized to 299x299
     (align_corners=False — jax.image.resize "linear" matches torch
-    F.interpolate defaults);
-  * ``transform_input`` enabled, as in torchvision pretrained usage and
-    pytorch-fid's wrapper;
-  * the 3x3 stride-1 average pools inside InceptionA/C/E use
+    F.interpolate defaults) and fed DIRECTLY to Conv2d_1a_3x3.
+    pytorch-fid's wrapper applies only ``2*x - 1`` (normalize_input) and
+    never torchvision's ``transform_input`` affine — applying that affine
+    to [-1, 1] input would rescale each channel by ~0.45 (ADVICE r3);
+  * the 3x3 stride-1 average pools inside InceptionA/C and Mixed_7b use
     count_include_pad=False (the pytorch-fid patch that matches the
     original TF-graph semantics);
+  * Mixed_7c's branch_pool is a 3x3 stride-1 MAX pool (pytorch-fid's
+    FIDInceptionE_2 patch), not an average pool (ADVICE r3);
   * BatchNorm eval mode, eps 1e-3 (torchvision BasicConv2d).
 """
 
@@ -140,7 +145,17 @@ def _inception_d(p, x):
     return jnp.concatenate([b3, b7, _max_pool(x)], axis=-1)
 
 
-def _inception_e(p, x):
+def _max_pool_3x3_same_stride1(x):
+    """3x3 stride-1 SAME max pool — pytorch-fid's FIDInceptionE_2 patch
+    for Mixed_7c (F.max_pool2d(kernel_size=3, stride=1, padding=1))."""
+    from jax import lax
+
+    return lax.reduce_window(
+        x, -np.inf, lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+    )
+
+
+def _inception_e(p, x, pool="avg"):
     import jax.numpy as jnp
 
     b1 = _conv_bn_relu(p["branch1x1"], x)
@@ -161,7 +176,12 @@ def _inception_e(p, x):
         ],
         axis=-1,
     )
-    bp = _conv_bn_relu(p["branch_pool"], _avg_pool_3x3_same_exclude_pad(x))
+    pooled = (
+        _max_pool_3x3_same_stride1(x)
+        if pool == "max"
+        else _avg_pool_3x3_same_exclude_pad(x)
+    )
+    bp = _conv_bn_relu(p["branch_pool"], pooled)
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
@@ -169,15 +189,12 @@ def inception_pool3(params, images):
     """images [N, 299, 299, 3] in [-1, 1] -> pool3 features [N, 2048]."""
     import jax.numpy as jnp
 
+    # [-1, 1] input goes straight to the stem: pytorch-fid's wrapper
+    # applies only normalize_input (2x-1 from [0,1]) and builds the trunk
+    # with transform_input=False, so no per-channel affine here (ADVICE
+    # r3 — the affine belongs to torchvision's ImageNet-normalized
+    # convention, not the FID convention these features must match).
     x = images.astype(jnp.float32)
-    # torchvision transform_input=True: per-channel affine re-map from the
-    # [-1, 1] convention to the ImageNet-normalized stats the weights
-    # were trained with (inception.py _transform_input).
-    ch0 = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
-    ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
-    ch2 = x[..., 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
-    x = jnp.concatenate([ch0, ch1, ch2], axis=-1)
-
     x = _conv_bn_relu(params["Conv2d_1a_3x3"], x, stride=2)
     x = _conv_bn_relu(params["Conv2d_2a_3x3"], x)
     x = _conv_bn_relu(params["Conv2d_2b_3x3"], x, padding=_P1)
@@ -195,7 +212,7 @@ def inception_pool3(params, images):
     x = _inception_c(params["Mixed_6e"], x)
     x = _inception_d(params["Mixed_7a"], x)
     x = _inception_e(params["Mixed_7b"], x)
-    x = _inception_e(params["Mixed_7c"], x)
+    x = _inception_e(params["Mixed_7c"], x, pool="max")
     return jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> [N, 2048]
 
 

@@ -389,6 +389,93 @@ def test_orbax_roundtrip(tmp_path):
     jax.tree.map(np.testing.assert_array_equal, params, restored)
 
 
+def test_legacy_geglu_train_state_resumes(tmp_path):
+    """A training-state checkpoint saved BEFORE the GEGLU value/gate split
+    (fused geglu/dense leaves mirrored through params, EMA, and Adam
+    moments) must restore against the new abstract state — ADVICE r3: the
+    bare-params migration alone left pre-split training runs unable to
+    resume (Orbax structure mismatch in restore_latest)."""
+    import optax
+
+    from ldm_tf2_tpu.checkpoints.manager import (
+        CheckpointManager,
+        _map_dict_subtrees,
+    )
+    from ldm_tf2_tpu.training.ldm_trainer import LDMTrainState
+
+    rng_np = np.random.RandomState(0)
+    params = {
+        "ffn": {
+            "geglu": {
+                "value": {
+                    "kernel": jnp.asarray(rng_np.randn(4, 6), jnp.float32),
+                    "bias": jnp.asarray(rng_np.randn(6), jnp.float32),
+                },
+                "gate": {
+                    "kernel": jnp.asarray(rng_np.randn(4, 6), jnp.float32),
+                    "bias": jnp.asarray(rng_np.randn(6), jnp.float32),
+                },
+            },
+            "dense": {"kernel": jnp.asarray(rng_np.randn(6, 4), jnp.float32)},
+        }
+    }
+    optimizer = optax.adamw(1e-3)
+    opt_state = optimizer.init(params)
+    # step once so the Adam moments are non-trivial
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    state = LDMTrainState(
+        step=jnp.asarray(7, jnp.int32),
+        unet_params=params,
+        cond_params={},
+        opt_state=opt_state,
+        ema_params=jax.tree.map(lambda x: x * 0.5, params),
+    )
+
+    def fuse_concrete(d):
+        out = {}
+        for key, child in d.items():
+            if (
+                key == "geglu"
+                and isinstance(child, dict)
+                and set(child) == {"value", "gate"}
+            ):
+                out[key] = {
+                    "dense": {
+                        leaf: jnp.concatenate(
+                            [child["value"][leaf], child["gate"][leaf]],
+                            axis=-1,
+                        )
+                        for leaf in child["value"]
+                    }
+                }
+            elif isinstance(child, dict):
+                out[key] = fuse_concrete(child)
+            else:
+                out[key] = child
+        return out
+
+    legacy_state = _map_dict_subtrees(fuse_concrete, state)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(7, legacy_state)
+    mgr.wait()
+    mgr.close()
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+    )
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    step, restored = mgr2.restore_latest(abstract)
+    mgr2.close()
+    assert step == 7
+    assert jax.tree_util.tree_structure(
+        restored
+    ) == jax.tree_util.tree_structure(state)
+    jax.tree.map(np.testing.assert_array_equal, state, restored)
+
+
 def test_converter_cli_end_to_end(tmp_path, rng):
     """Full CLI run on a fabricated CompVis-shaped torch checkpoint: three
     Orbax artifacts + checksum manifest out, loadable and runnable

@@ -2,8 +2,6 @@
 
 Strategy: a diffusion process whose optimal eps-predictor is known in
 closed form — data x0 ~ N(mu, s^2 I) gives marginals
-pytestmark = pytest.mark.fast  # per-session green-check tier
-
 xt ~ N(a mu, v I), v = a^2 s^2 + sigma^2 (a = sqrt(acp), sigma^2 = 1-acp),
 and the posterior-mean predictor
   E[eps | xt] = sigma (xt - a mu) / v.
@@ -25,6 +23,8 @@ from ldm_tf2_tpu.diffusion.solvers import (
     dpm_solver_pp_2m_sample_loop,
     plms_sample_loop,
 )
+
+pytestmark = pytest.mark.fast  # per-session green-check tier
 
 MU = 0.7
 S = 0.35

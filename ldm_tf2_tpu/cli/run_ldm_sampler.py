@@ -306,6 +306,7 @@ def main(_):
         print("[INFO] int8 PV flash attention "
               "(tpu.quantize_attention: int8pv).")
         set_flash_pv_int8(True)
+    params_placed = False
     if config["tpu"]["sequence_parallel"]:
         from ldm_tf2_tpu.ops.attention import enable_sequence_parallel
 
@@ -313,10 +314,21 @@ def main(_):
               f"axis (size {mesh.shape['model']}).")
         enable_sequence_parallel(mesh)
         params = replicate(params, mesh)
+        params_placed = True
+    if config["tpu"]["tensor_parallel"]:
+        from ldm_tf2_tpu.ops.tp import enable_tensor_parallel
+        from ldm_tf2_tpu.parallel.sharding import shard_params_tp
+
+        print("[INFO] Tensor-parallel params over 'model' axis "
+              f"(size {mesh.shape.get('model', 1)}); Pallas kernels "
+              "composed per-shard (ops/tp.py).")
+        enable_tensor_parallel(mesh)
+        params = tuple(shard_params_tp(p, mesh) for p in params)
+        params_placed = True
     n_data = mesh.shape["data"]
     if shape[0] % n_data == 0:
         print(f"[INFO] Sampling data-parallel over mesh {mesh}.")
-        if not config["tpu"]["sequence_parallel"]:
+        if not params_placed:
             params = replicate(params, mesh)
         token_ids = shard_batch(token_ids, mesh)
     elif n_data > 1:

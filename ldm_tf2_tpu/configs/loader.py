@@ -45,6 +45,11 @@ _TPU_DEFAULTS: dict[str, Any] = {
     # self-attention >= 4096 tokens (1024^2+ sampling). Requires a model
     # axis of size > 1 in tpu.mesh.
     "sequence_parallel": False,
+    # Megatron-style tensor parallelism over the mesh's "model" axis:
+    # params sharded by the parallel/sharding.py rules, Pallas kernels
+    # composed per-shard via ops/tp.py shard_map wrappers. Requires a
+    # model axis of size > 1 in tpu.mesh.
+    "tensor_parallel": False,
     "remat": False,
     # Resumable index-based input pipeline (data/indexed.py): batch at
     # step s is a pure function of (seed, s), so restarts resume mid-epoch
@@ -187,6 +192,21 @@ def load_config(path: str) -> dict:
         raise ValueError(
             "tpu.sequence_parallel requires a 'model' axis of size > 1 "
             f"in tpu.mesh, got {tpu['mesh']}"
+        )
+    if not isinstance(tpu["tensor_parallel"], bool):
+        raise ValueError(
+            f"tpu.tensor_parallel must be a bool, got "
+            f"{tpu['tensor_parallel']!r}"
+        )
+    if tpu["tensor_parallel"] and tpu["mesh"].get("model", 1) in (0, 1):
+        raise ValueError(
+            "tpu.tensor_parallel requires a 'model' axis of size > 1 "
+            f"in tpu.mesh, got {tpu['mesh']}"
+        )
+    if tpu["tensor_parallel"] and tpu["sequence_parallel"]:
+        raise ValueError(
+            "tpu.tensor_parallel and tpu.sequence_parallel both claim the "
+            "'model' mesh axis — enable at most one"
         )
     if tpu["quantize"] not in ("none", "int8"):
         raise ValueError(

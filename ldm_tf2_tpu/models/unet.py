@@ -187,6 +187,7 @@ class CrossAttention(nn.Module):
             use_packed_cross,
             use_packed_flash,
         )
+        from ldm_tf2_tpu.ops.tp import tp_attention_claims, tp_state
 
         is_self = context is None
         context = query if context is None else context
@@ -198,6 +199,16 @@ class CrossAttention(nn.Module):
             packed = use_packed_cross(
                 query.shape[1], context.shape[1], self.num_heads
             )
+        # Tensor parallelism: packed kernel attention decomposes over the
+        # model axis by head (ops/tp.py shard_map wrappers).  When the
+        # head/batch counts do not divide the mesh, drop to the unpacked
+        # einsum path, which GSPMD partitions natively — a packed Pallas
+        # call would otherwise be replicated (all-gathered) per shard.
+        tp_ok = tp_state() is not None and tp_attention_claims(
+            self.num_heads, query.shape[0]
+        )
+        if tp_state() is not None and not tp_ok:
+            packed = False
         q = Projection(
             self.num_heads,
             self.size_per_head,
@@ -223,21 +234,35 @@ class CrossAttention(nn.Module):
             name="value",
         )(context, packed=packed)
         if packed and is_self:
-            from ldm_tf2_tpu.ops.flash_attention import (
-                flash_attention_flat,
-            )
+            if tp_ok:
+                from ldm_tf2_tpu.ops.tp import tp_flash_attention_flat
 
-            out = flash_attention_flat(
-                q, k, v, self.size_per_head**-0.5, self.num_heads
-            )
+                out = tp_flash_attention_flat(
+                    q, k, v, self.size_per_head**-0.5, self.num_heads
+                )
+            else:
+                from ldm_tf2_tpu.ops.flash_attention import (
+                    flash_attention_flat,
+                )
+
+                out = flash_attention_flat(
+                    q, k, v, self.size_per_head**-0.5, self.num_heads
+                )
         elif packed:
-            from ldm_tf2_tpu.ops.cross_attention import (
-                cross_attention_flat,
-            )
+            if tp_ok:
+                from ldm_tf2_tpu.ops.tp import tp_cross_attention_flat
 
-            out = cross_attention_flat(
-                q, k, v, self.size_per_head**-0.5, self.num_heads
-            )
+                out = tp_cross_attention_flat(
+                    q, k, v, self.size_per_head**-0.5, self.num_heads
+                )
+            else:
+                from ldm_tf2_tpu.ops.cross_attention import (
+                    cross_attention_flat,
+                )
+
+                out = cross_attention_flat(
+                    q, k, v, self.size_per_head**-0.5, self.num_heads
+                )
         else:
             out = dot_product_attention(
                 q, k, v, scale=self.size_per_head**-0.5
@@ -339,6 +364,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, ln_scale, ln_bias, *, training: bool = False):
         from ldm_tf2_tpu.ops.fused_ffn import fused_ffn, use_fused_ffn
+        from ldm_tf2_tpu.ops.tp import tp_ffn_claims, tp_fused_ffn, tp_state
 
         hidden = self.channels * self.multiplier
         geglu = GEGLU(hidden, dtype=self.dtype, name="geglu")
@@ -347,7 +373,25 @@ class FeedForward(nn.Module):
 
         dropout_active = training and self.dropout_rate > 0.0
         b, t, d = x.shape
-        if not dropout_active and use_fused_ffn(b, t, d):
+        if not dropout_active and tp_state() is not None:
+            # Tensor parallelism: the Pallas kernel composes through the
+            # shard_map column x row decomposition (ops/tp.py); when the
+            # shard shapes decline, fall through to the unfused math,
+            # which GSPMD partitions natively — never a replicated
+            # Pallas call.
+            if tp_ffn_claims(b, t, d):
+                return tp_fused_ffn(
+                    x,
+                    ln_scale,
+                    ln_bias,
+                    wv.astype(self.dtype),
+                    bv.astype(self.dtype),
+                    wg.astype(self.dtype),
+                    bg.astype(self.dtype),
+                    w2.astype(self.dtype),
+                    b2.astype(self.dtype),
+                )
+        elif not dropout_active and use_fused_ffn(b, t, d):
             return fused_ffn(
                 x,
                 ln_scale,

@@ -100,6 +100,20 @@ def disable_sequence_parallel() -> None:
 def _local_attention(q, k, v, scale):
     """The single-device dispatch (xla vs flash kernel)."""
     if _use_flash(q.shape[1], k.shape[1]):
+        from ldm_tf2_tpu.ops.tp import (
+            tp_attention_claims,
+            tp_flash_attention,
+            tp_state,
+        )
+
+        if tp_state() is not None:
+            # A bare Pallas call is opaque to GSPMD — under a model axis
+            # it would be computed replicated.  Decompose by head when
+            # the counts divide (ops/tp.py), else XLA math (partitions
+            # natively).
+            if tp_attention_claims(q.shape[2], q.shape[0]):
+                return tp_flash_attention(q, k, v, scale)
+            return _xla_attention(q, k, v, scale)
         from ldm_tf2_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)

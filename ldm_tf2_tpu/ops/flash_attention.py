@@ -74,6 +74,17 @@ def get_flash_pv_int8() -> bool:
     return _PV_INT8
 
 
+def _pallas_call(*args, **kwargs):
+    """pl.pallas_call with the classic interpreter on non-TPU backends
+    (like every other kernel module) — the newer
+    `force_tpu_interpret_mode` machinery deadlocks in its
+    _allocate_buffer io_callbacks when a kernel executes under a
+    multi-device shard_map on the CPU mesh (observed jax 0.9, 8 virtual
+    devices), which the TP composition tests exercise."""
+    kwargs.setdefault("interpret", jax.default_backend() != "tpu")
+    return pl.pallas_call(*args, **kwargs)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -245,7 +256,7 @@ def _forward_packed(qt, kt, vt, scale, block_q=None, block_k=None,
         )]
         out_shape = [out_shape, jax.ShapeDtypeStruct(
             (bh, q_pad, _LANE), jnp.float32)]
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
             masked=kv_len != kv_pad, save_residuals=save_residuals,
@@ -466,7 +477,7 @@ def _backward_packed(qt, kt, vt, ot, lse, dot, scale,
                            memory_space=pltpu.VMEM)
 
     flops_qk = 2 * bh * q_len * kv_len * sp
-    dq = pl.pallas_call(
+    dq = _pallas_call(
         functools.partial(_dq_kernel, scale=scale, block_k=block_k,
                           kv_len=kv_len, masked=kv_len != kv_pad),
         grid=(bh, q_pad // block_q, kv_pad // block_k),
@@ -491,7 +502,7 @@ def _backward_packed(qt, kt, vt, ot, lse, dot, scale,
         memory_space=pltpu.VMEM)
     kv_spec_t = pl.BlockSpec((1, block_k, sp), lambda bh, j, i: (bh, j, 0),
                              memory_space=pltpu.VMEM)
-    dk, dv = pl.pallas_call(
+    dk, dv = _pallas_call(
         functools.partial(_dkv_kernel, scale=scale, block_k=block_k,
                           kv_len=kv_len, masked=kv_len != kv_pad),
         grid=(bh, kv_pad // block_k, q_pad // block_q),
@@ -715,7 +726,7 @@ def _forward_flat(qf, kf, vf, scale, h, block_q=None, block_k=None,
         out_specs = [out_specs, row_spec]
         out_shape = [out_shape, jax.ShapeDtypeStruct(
             (b, q_pad, h * _LANE), jnp.float32)]
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
             masked=kv_len != kv_pad, save_residuals=save_residuals,
@@ -782,7 +793,7 @@ def _backward_flat(qf, kf, vf, of, lse, dof, scale, h,
 
     q_spec, row_spec, kv_spec = _flat_specs(h, block_q, block_k, sp)
     flops_qk = 2 * b * h * q_len * kv_len * sp
-    dq = pl.pallas_call(
+    dq = _pallas_call(
         functools.partial(_dq_kernel, scale=scale, block_k=block_k,
                           kv_len=kv_len, masked=kv_len != kv_pad),
         grid=(b * h, q_pad // block_q, kv_pad // block_k),
@@ -802,7 +813,7 @@ def _backward_flat(qf, kf, vf, of, lse, dof, scale, h,
     q_spec_t, row_spec_t, kv_spec_t = _flat_specs(
         h, block_q, block_k, sp, transposed_grid=True
     )
-    dk, dv = pl.pallas_call(
+    dk, dv = _pallas_call(
         functools.partial(_dkv_kernel, scale=scale, block_k=block_k,
                           kv_len=kv_len, masked=kv_len != kv_pad),
         grid=(b * h, kv_pad // block_k, q_pad // block_q),

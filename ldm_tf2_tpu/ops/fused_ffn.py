@@ -129,7 +129,8 @@ def _xla_ffn(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2, eps):
 
 
 def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1a_ref, w1b_ref, b1a_ref,
-                b1b_ref, w2_ref, b2_ref, o_ref, ln_ref, acc_ref, *, eps):
+                b1b_ref, w2_ref, b2_ref, o_ref, ln_ref, acc_ref, *, eps,
+                residual=True):
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
 
@@ -165,8 +166,10 @@ def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1a_ref, w1b_ref, b1a_ref,
 
     @pl.when(j == n_j - 1)
     def _():
-        out = acc_ref[:].astype(o_ref.dtype)
-        o_ref[:] = out + b2_ref[:].astype(o_ref.dtype) + x_ref[:]
+        out = acc_ref[:].astype(o_ref.dtype) + b2_ref[:].astype(o_ref.dtype)
+        if residual:
+            out = out + x_ref[:]
+        o_ref[:] = out
 
 
 def _ffn_kernel_int8(x_ref, lns_ref, lnb_ref, w1a_ref, w1b_ref, b1a_ref,
@@ -260,13 +263,15 @@ def _pick_tiles(m: int, d: int):
 
 
 def _pallas_ffn(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2, eps,
-                tiles=None):
+                tiles=None, residual=True):
     b, t, d = x.shape
     m = b * t
+    # hidden width from the kernel leaf, not 4*d: under tensor
+    # parallelism each shard holds F/n columns (ops/tp.py tp_fused_ffn)
+    h4 = w1v.shape[1]
     tiles = tiles or _pick_tiles(m, d)
     assert tiles is not None
-    tm, nb = tiles
-    h4 = 4 * d
+    tm, nb = min(tiles[0], m), min(tiles[1], h4)
     n_j = h4 // nb
 
     x2 = x.reshape(m, d)
@@ -274,7 +279,7 @@ def _pallas_ffn(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2, eps,
     b1a, b1b = b1v.reshape(1, h4), b1g.reshape(1, h4)
 
     out = pl.pallas_call(
-        functools.partial(_ffn_kernel, eps=eps),
+        functools.partial(_ffn_kernel, eps=eps, residual=residual),
         grid=(m // tm, n_j),
         in_specs=[
             pl.BlockSpec((tm, d), lambda i, j: (i, 0),
@@ -304,7 +309,7 @@ def _pallas_ffn(x, ln_scale, ln_bias, w1v, b1v, w1g, b1g, w2, b2, eps,
             pltpu.VMEM((tm, d), jnp.float32),  # output accumulator
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * 12 * d * d,
+            flops=2 * m * 3 * d * h4,
             bytes_accessed=2 * m * d * 2 + 3 * d * h4 * 2,
             transcendentals=m * h4,
         ),

@@ -56,9 +56,13 @@ DEFAULT_TP_RULES: Sequence[tuple[str, P]] = (
     # stats shard-local); conv2d_2 input-channel-sharded [3,3,I/n,O]
     # contracts the sharded axis away -> one psum at the block boundary.
     # NOTE the divisibility guard in tp_param_shardings replicates tiny
-    # test configs automatically; the Pallas whole-chain conv kernel is
-    # not SPMD-partitionable, so TP runs route through the dots/emitter
-    # formulations (natively partitionable dot_general/conv HLOs).
+    # test configs automatically.  Pallas kernels COMPOSE with these
+    # rules via the ops/tp.py shard_map wrappers (flash attention by
+    # head, fused FFN column x row) — enable_tensor_parallel(mesh)
+    # activates them; see that module's docstring.  The conv chain needs
+    # no wrapper: its best-measured formulation is plain HLO (emitter /
+    # 9-shifted dots), which GSPMD partitions natively under these
+    # column->row rules.
     (r"residual/conv2d_1/kernel$", P(None, None, None, MODEL_AXIS)),
     (r"residual/conv2d_1/bias$", P(MODEL_AXIS)),
     (r"residual/dense/kernel$", P(None, MODEL_AXIS)),

@@ -488,6 +488,35 @@ def test_sampler_cli_data_parallel(workspace):
     assert images.shape == (8, IMG, IMG, 3)
 
 
+def test_sampler_cli_tensor_parallel(workspace):
+    """tpu.tensor_parallel: params TP-sharded over a data x model mesh
+    and the kernel composition layer enabled (ops/tp.py) — the CLI path
+    for VERDICT r3 next #2.  On the tiny CPU config the kernel claims
+    decline (per-shard shapes too small), exercising the documented
+    fall-through to natively-partitionable XLA math."""
+    from ldm_tf2_tpu.cli import run_ldm_sampler
+    from ldm_tf2_tpu.ops import tp
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["tpu"] = dict(cfg.get("tpu") or {})
+    cfg["tpu"]["mesh"] = {"data": 2, "model": 4}
+    cfg["tpu"]["tensor_parallel"] = True
+    cfg["ldm_sampling"]["latent_shape"] = [2, IMG // 4, IMG // 4, 4]
+    path = str(root / "config_tp_sample.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    try:
+        _run_cli(run_ldm_sampler, ["run_ldm_sampler", f"--config_path={path}"])
+    finally:
+        assert tp.tp_state() is not None  # CLI registered the mesh
+        tp.enable_tensor_parallel(None)
+    images = np.load(root / "images.npy")
+    assert images.shape == (2, IMG, IMG, 3)
+
+
 def test_run_eval_cli_inception_extractor(workspace):
     """--extractor inception: the paper-standard pool3 FID path through
     the CLI with a synthetic torch .pth; missing weights error with

@@ -10,7 +10,14 @@ single-process run.
 
 Launched as:
     python tests/_mp_ldm_worker.py <pid> <nprocs> <port> <records_dir> \
-        <out_json> <steps>
+        <out_json> <steps> [ckpt_dir]
+
+With `ckpt_dir`, the worker restores the latest multi-process Orbax
+checkpoint if one exists (resuming the deterministic indexed loader at
+the restored step), trains `steps` MORE steps, and saves — the
+multi-host generalization of the reference's restore-at-start semantics
+(model_runners.py:200-205), exercised by
+test_multiprocess.py::test_two_process_checkpoint_resume_exact.
 
 Env (set by the parent): JAX_PLATFORMS=cpu and
 XLA_FLAGS=--xla_force_host_platform_device_count=<k> so each process
@@ -28,6 +35,7 @@ import sys
 def main() -> None:
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     records_dir, out_json, steps = sys.argv[4], sys.argv[5], int(sys.argv[6])
+    ckpt_dir = sys.argv[7] if len(sys.argv) > 7 else None
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
@@ -108,6 +116,34 @@ def main() -> None:
 
     mesh = create_mesh()  # all global devices on the data axis
 
+    state = replicate(
+        init_ldm_train_state(unet_params, cond_params, optimizer), mesh
+    )
+    ae_rep = replicate(ae_params, mesh)
+    rng = jax.random.PRNGKey(42)
+
+    # Multi-process checkpoint restore: every process participates in the
+    # Orbax restore against the live state's shardings, then resumes the
+    # deterministic loader at the restored step.
+    step0 = 0
+    restored_leaf0_sum = None
+    manager = None
+    if ckpt_dir is not None:
+        from ldm_tf2_tpu.checkpoints.manager import CheckpointManager
+
+        manager = CheckpointManager(ckpt_dir)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding),
+            state,
+        )
+        restored = manager.restore_latest(abstract)
+        if restored is not None:
+            step0, state = restored
+            restored_leaf0_sum = float(
+                jnp.sum(jax.tree.leaves(state.unet_params)[0])
+            )
+
     # Global batch 4, sliced per process by the indexed loader's global
     # permutation sharding (data/indexed.py).
     global_batch = 4
@@ -118,25 +154,28 @@ def main() -> None:
         keys=("image", "caption"),
         max_seq_len=8,
         random_seed=7,
+        start_step=step0,
         shard_index=pid,
         shard_count=nprocs,
         num_workers=2,
     )
 
-    state = replicate(
-        init_ldm_train_state(unet_params, cond_params, optimizer), mesh
-    )
-    ae_rep = replicate(ae_params, mesh)
-    rng = jax.random.PRNGKey(42)
-
     losses = []
-    for _ in range(steps):
+    for i in range(steps):
         imgs, caps = next(loader)
         batch = shard_batch(
             (imgs.astype("float32"), caps.astype("int32")), mesh
         )
         state, metrics = step_fn(state, ae_rep, *batch, rng)
         losses.append(float(metrics["loss"]))
+        if manager is not None:
+            # per-step saves so the SIGKILL variant always has a complete
+            # checkpoint behind the kill point (Orbax atomic-rename commit)
+            manager.save(step0 + i + 1, state)
+
+    if manager is not None:
+        manager.wait()
+        manager.close()
 
     result = {
         "pid": pid,
@@ -144,6 +183,8 @@ def main() -> None:
         "global_devices": len(jax.devices()),
         "losses": losses,
         "my_files": shard_for_process(files),
+        "restored_step": step0,
+        "restored_leaf0_sum": restored_leaf0_sum,
         "unet_leaf0_sum": float(
             jnp.sum(jax.tree.leaves(state.unet_params)[0])
         ),

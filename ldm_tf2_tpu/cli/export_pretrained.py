@@ -26,12 +26,22 @@ define_string("config_path", None, "Path to yaml config file.")
 define_string("out_dir", "exported", "Output directory for the artifacts.")
 define_string(
     "which", "ldm",
-    "Which training checkpoint to export: ldm (unet + cond model) or "
-    "autoencoder.",
+    "What to export: ldm (unet + cond model from the training ckpt), "
+    "autoencoder (from the AE training ckpt), or serving (re-save the "
+    "three existing pre_ckpt_paths artifacts — with --dtype bfloat16 "
+    "this produces half-size serving artifacts that restore ~2x faster).",
 )
 define_bool(
     "use_ema", True,
     "Prefer EMA weights when present in the checkpoint (recommended).",
+)
+define_string(
+    "dtype", "",
+    "Optional export cast: '' keeps checkpoint dtypes; 'bfloat16' casts "
+    "float32 leaves on save.  A bf16 artifact halves the restore bytes "
+    "and samples IDENTICALLY to loading f32 + tpu.weights_dtype: "
+    "bfloat16 (same rounding, applied once at export instead of every "
+    "load).",
 )
 
 FLAGS = flags.FLAGS
@@ -52,6 +62,27 @@ def _restore_latest(ckpt_dir: str):
     return state
 
 
+def _cast_tree(params):
+    """Apply --dtype to a host-numpy param tree (f32 leaves only)."""
+    import jax
+    import numpy as np
+
+    if not FLAGS.dtype:
+        return params
+    if FLAGS.dtype not in ("bfloat16", "float32"):
+        raise SystemExit(f"--dtype must be ''|bfloat16|float32, "
+                         f"got {FLAGS.dtype!r}")
+    import ml_dtypes
+
+    dtype = (ml_dtypes.bfloat16 if FLAGS.dtype == "bfloat16"
+             else np.float32)
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if np.asarray(a).dtype == np.float32 else a,
+        params,
+    )
+
+
 def main(_):
     import jax
     import numpy as np
@@ -61,18 +92,39 @@ def main(_):
 
     config = load_config(FLAGS.config_path)
 
+    if FLAGS.which == "serving":
+        from ldm_tf2_tpu.checkpoints.manager import load_params
+
+        os.makedirs(FLAGS.out_dir, exist_ok=True)
+        for key, name in (("cond_stage_model", "transformer-1"),
+                          ("unet", "unet-1"),
+                          ("autoencoder", "autoencoder-1")):
+            params = load_params(config["pre_ckpt_paths"][key])
+            out = os.path.join(FLAGS.out_dir, name)
+            print(f"[INFO] Saving {out} (dtype={FLAGS.dtype or 'as-is'})...")
+            save_params(
+                out, _cast_tree(jax.tree.map(np.asarray, params)),
+                overwrite=True,
+            )
+        print("[INFO] Done. Point pre_ckpt_paths at these artifacts.")
+        return
+
     if FLAGS.which == "autoencoder":
         state = _restore_latest(config["autoencoder_training"]["ckpt_path"])
         out = os.path.join(FLAGS.out_dir, "autoencoder-1")
         os.makedirs(FLAGS.out_dir, exist_ok=True)
         print(f"[INFO] Saving {out} ...")
-        save_params(out, jax.tree.map(np.asarray, state["ae_params"]),
-                    overwrite=True)
+        save_params(
+            out, _cast_tree(jax.tree.map(np.asarray, state["ae_params"])),
+            overwrite=True,
+        )
         print("[INFO] Done. Point pre_ckpt_paths.autoencoder at this "
               "artifact.")
         return
     if FLAGS.which != "ldm":
-        raise SystemExit(f"--which must be ldm|autoencoder, got {FLAGS.which}")
+        raise SystemExit(
+            f"--which must be ldm|autoencoder|serving, got {FLAGS.which}"
+        )
 
     state = _restore_latest(config["ldm_training"]["ckpt_path"])
 
@@ -94,7 +146,8 @@ def main(_):
         print(f"[INFO] Saving {out} ...")
         # materialize to host numpy: strips the training run's mesh
         # sharding so the artifact loads on any topology
-        save_params(out, jax.tree.map(np.asarray, params), overwrite=True)
+        save_params(out, _cast_tree(jax.tree.map(np.asarray, params)),
+                    overwrite=True)
     print(
         "[INFO] Done. Point pre_ckpt_paths.unet / .cond_stage_model at these "
         "artifacts (the autoencoder artifact is unchanged by LDM training)."

@@ -105,6 +105,20 @@ def build_server(config, aot_cache_path: str = ""):
     autoencoder = factory.build_autoencoder(config, ae_type)
     schedule = factory.build_schedule(config)
 
+    # Overlap the two independent halves of a warm start: the AOT
+    # executable deserializes on a worker thread while this thread
+    # restores the multi-GB param artifacts (VERDICT r3 next #3 — they
+    # were serial before, ~150 s at full size).
+    aot_future = None
+    if aot_cache_path:
+        from concurrent.futures import ThreadPoolExecutor
+
+        aot_future = ThreadPoolExecutor(max_workers=1).submit(
+            factory.aot_try_load,
+            aot_cache_path,
+            lambda m: print(f"[serve] {m}", file=sys.stderr),
+        )
+
     print("[serve] restoring pretrained checkpoints...", file=sys.stderr)
     params = factory.cast_inference_params(
         config,
@@ -265,6 +279,8 @@ def build_server(config, aot_cache_path: str = ""):
                 (params, token_ids, key, guidance),
                 aot_cache_path,
                 note=lambda m: print(f"[serve] {m}", file=sys.stderr),
+                # deserialized concurrently with the param restore above
+                preloaded=aot_future.result(),
             )
             if how == "aot-cache":
                 # the warm call doubles as verification: an artifact can

@@ -60,7 +60,43 @@ def enable_compile_cache(
     return cache_dir
 
 
-def aot_compile_or_load(jit_fn, example_args, path: str, note=None):
+_AOT_UNSET = object()
+
+
+def aot_try_load(path: str, note=None):
+    """Deserialize-and-load a serialized AOT executable, or None.
+
+    Split out of `aot_compile_or_load` so callers can run the
+    deserialization CONCURRENTLY with the (multi-GB) Orbax param restore
+    — the two halves of a server warm start are independent
+    (cli/serve_ldm.py overlaps them on a worker thread)."""
+    import pickle
+
+    from jax.experimental import serialize_executable
+
+    note = note or (lambda msg: None)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            payload, in_tree, out_tree, device_ids = pickle.load(f)
+        # re-bind to the SAME device assignment the executable was
+        # compiled for — the default (all local devices) breaks when
+        # it was compiled for a subset (e.g. single-device jit on an
+        # 8-device host)
+        by_id = {d.id: d for d in jax.devices()}
+        return serialize_executable.deserialize_and_load(
+            payload, in_tree, out_tree,
+            execution_devices=[by_id[i] for i in device_ids],
+        )
+    except Exception as e:  # stale/incompatible artifact: recompile
+        note(f"AOT cache load failed ({type(e).__name__}: {e}); "
+             "recompiling")
+        return None
+
+
+def aot_compile_or_load(jit_fn, example_args, path: str, note=None,
+                        preloaded=_AOT_UNSET):
     """Ahead-of-time executable cache: load a serialized compiled
     executable from ``path``, or compile ``jit_fn`` at ``example_args``
     and save it there.
@@ -72,6 +108,9 @@ def aot_compile_or_load(jit_fn, example_args, path: str, note=None):
     upgrade, different batch, different chip) fails the load and falls
     back to a fresh compile that overwrites the artifact atomically.
 
+    ``preloaded``: the result of an earlier (possibly concurrent)
+    `aot_try_load` — pass it to skip the load here.
+
     Returns (callable, source) with source "aot-cache" | "compiled".
     """
     import pickle
@@ -79,23 +118,9 @@ def aot_compile_or_load(jit_fn, example_args, path: str, note=None):
     from jax.experimental import serialize_executable
 
     note = note or (lambda msg: None)
-    if os.path.exists(path):
-        try:
-            with open(path, "rb") as f:
-                payload, in_tree, out_tree, device_ids = pickle.load(f)
-            # re-bind to the SAME device assignment the executable was
-            # compiled for — the default (all local devices) breaks when
-            # it was compiled for a subset (e.g. single-device jit on an
-            # 8-device host)
-            by_id = {d.id: d for d in jax.devices()}
-            fn = serialize_executable.deserialize_and_load(
-                payload, in_tree, out_tree,
-                execution_devices=[by_id[i] for i in device_ids],
-            )
-            return fn, "aot-cache"
-        except Exception as e:  # stale/incompatible artifact: recompile
-            note(f"AOT cache load failed ({type(e).__name__}: {e}); "
-                 "recompiling")
+    fn = aot_try_load(path, note) if preloaded is _AOT_UNSET else preloaded
+    if fn is not None:
+        return fn, "aot-cache"
     compiled = jit_fn.lower(*example_args).compile()
     try:
         payload, in_tree, out_tree = serialize_executable.serialize(compiled)

@@ -488,6 +488,61 @@ def test_sampler_cli_data_parallel(workspace):
     assert images.shape == (8, IMG, IMG, 3)
 
 
+def test_bf16_serving_artifacts_sample_identically(workspace):
+    """export_pretrained --which serving --dtype bfloat16 produces
+    half-size artifacts whose samples are IDENTICAL to loading the f32
+    artifacts with tpu.weights_dtype: bfloat16 (the cast is the same
+    rounding, applied once at export instead of on every server start —
+    VERDICT r3 next #3's restore-side lever)."""
+    from ldm_tf2_tpu.cli import export_pretrained, run_ldm_sampler
+
+    root, config_path = workspace
+    os.chdir(root)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+
+    _run_cli(
+        export_pretrained,
+        ["export_pretrained", f"--config_path={config_path}",
+         "--which=serving", "--dtype=bfloat16",
+         f"--out_dir={root / 'bf16_artifacts'}"],
+    )
+    # bf16 leaves on disk, not just renamed f32
+    from ldm_tf2_tpu.checkpoints.manager import load_params
+
+    bf16_unet = load_params(str(root / "bf16_artifacts" / "unet-1"))
+    import jax
+
+    leaves = jax.tree.leaves(bf16_unet)
+    assert any(str(l.dtype) == "bfloat16" for l in leaves)
+    assert not any(str(l.dtype) == "float32" for l in leaves)
+
+    # reference: f32 artifacts cast on load
+    cfg_a = dict(cfg)
+    cfg_a["tpu"] = dict(cfg.get("tpu") or {})
+    cfg_a["tpu"]["weights_dtype"] = "bfloat16"
+    path_a = str(root / "config_cast_on_load.yaml")
+    with open(path_a, "w") as f:
+        yaml.safe_dump(cfg_a, f)
+    _run_cli(run_ldm_sampler, ["run_ldm_sampler", f"--config_path={path_a}"])
+    images_a = np.load(root / "images.npy")
+
+    # bf16 artifacts, no cast
+    cfg_b = dict(cfg_a)
+    cfg_b["pre_ckpt_paths"] = {
+        "cond_stage_model": str(root / "bf16_artifacts" / "transformer-1"),
+        "unet": str(root / "bf16_artifacts" / "unet-1"),
+        "autoencoder": str(root / "bf16_artifacts" / "autoencoder-1"),
+    }
+    path_b = str(root / "config_bf16_artifacts.yaml")
+    with open(path_b, "w") as f:
+        yaml.safe_dump(cfg_b, f)
+    _run_cli(run_ldm_sampler, ["run_ldm_sampler", f"--config_path={path_b}"])
+    images_b = np.load(root / "images.npy")
+
+    np.testing.assert_array_equal(images_a, images_b)
+
+
 def test_sampler_cli_tensor_parallel(workspace):
     """tpu.tensor_parallel: params TP-sharded over a data x model mesh
     and the kernel composition layer enabled (ops/tp.py) — the CLI path

@@ -105,16 +105,19 @@ def build_server(config, aot_cache_path: str = ""):
     autoencoder = factory.build_autoencoder(config, ae_type)
     schedule = factory.build_schedule(config)
 
-    # Overlap the two independent halves of a warm start: the AOT
-    # executable deserializes on a worker thread while this thread
+    # Overlap the independent halves of a warm start: the AOT artifact's
+    # file read + unpickle runs on a worker thread while this thread
     # restores the multi-GB param artifacts (VERDICT r3 next #3 — they
-    # were serial before, ~150 s at full size).
+    # were serial before).  Only the jax-free half overlaps: the
+    # device-side bind stays on the main thread in warmup() because
+    # concurrent device access from two threads deadlocks the
+    # axon-tunnel PJRT client (factory.aot_read docstring).
     aot_future = None
     if aot_cache_path:
         from concurrent.futures import ThreadPoolExecutor
 
         aot_future = ThreadPoolExecutor(max_workers=1).submit(
-            factory.aot_try_load,
+            factory.aot_read,
             aot_cache_path,
             lambda m: print(f"[serve] {m}", file=sys.stderr),
         )
@@ -279,8 +282,13 @@ def build_server(config, aot_cache_path: str = ""):
                 (params, token_ids, key, guidance),
                 aot_cache_path,
                 note=lambda m: print(f"[serve] {m}", file=sys.stderr),
-                # deserialized concurrently with the param restore above
-                preloaded=aot_future.result(),
+                # artifact bytes were read concurrently with the param
+                # restore; bind to devices here on the main thread
+                preloaded=factory.aot_try_load(
+                    aot_cache_path,
+                    lambda m: print(f"[serve] {m}", file=sys.stderr),
+                    payload=aot_future.result(),
+                ),
             )
             if how == "aot-cache":
                 # the warm call doubles as verification: an artifact can

@@ -63,30 +63,51 @@ def enable_compile_cache(
 _AOT_UNSET = object()
 
 
-def aot_try_load(path: str, note=None):
-    """Deserialize-and-load a serialized AOT executable, or None.
+def aot_read(path: str, note=None):
+    """Read + unpickle a serialized AOT executable artifact, or None.
 
-    Split out of `aot_compile_or_load` so callers can run the
-    deserialization CONCURRENTLY with the (multi-GB) Orbax param restore
-    — the two halves of a server warm start are independent
-    (cli/serve_ldm.py overlaps them on a worker thread)."""
+    Pure file IO — NO jax/device calls — so it is safe to run on a
+    worker thread concurrently with the (multi-GB) Orbax param restore
+    (cli/serve_ldm.py overlaps the two).  The device-side bind
+    (`aot_try_load`) must stay on the main thread: concurrent device
+    access from two threads deadlocked the axon-tunnel PJRT client
+    (observed round 4 — aot-warm hung >25 min with flat CPU).
+    """
     import pickle
-
-    from jax.experimental import serialize_executable
 
     note = note or (lambda msg: None)
     if not os.path.exists(path):
         return None
     try:
         with open(path, "rb") as f:
-            payload, in_tree, out_tree, device_ids = pickle.load(f)
+            return pickle.load(f)
+    except Exception as e:
+        note(f"AOT cache read failed ({type(e).__name__}: {e}); "
+             "recompiling")
+        return None
+
+
+def aot_try_load(path: str, note=None, payload=_AOT_UNSET):
+    """Deserialize-and-load a serialized AOT executable, or None.
+
+    ``payload``: the result of an earlier (possibly concurrent)
+    `aot_read` — pass it to skip the file read here."""
+    from jax.experimental import serialize_executable
+
+    note = note or (lambda msg: None)
+    if payload is _AOT_UNSET:
+        payload = aot_read(path, note)
+    if payload is None:
+        return None
+    try:
+        exe, in_tree, out_tree, device_ids = payload
         # re-bind to the SAME device assignment the executable was
         # compiled for — the default (all local devices) breaks when
         # it was compiled for a subset (e.g. single-device jit on an
         # 8-device host)
         by_id = {d.id: d for d in jax.devices()}
         return serialize_executable.deserialize_and_load(
-            payload, in_tree, out_tree,
+            exe, in_tree, out_tree,
             execution_devices=[by_id[i] for i in device_ids],
         )
     except Exception as e:  # stale/incompatible artifact: recompile

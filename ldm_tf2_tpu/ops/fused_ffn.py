@@ -38,6 +38,7 @@ dispatch: tests assert kernel-vs-XLA max error at bf16 resolution).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -256,6 +257,13 @@ def _pick_tiles(m: int, d: int):
     512 ≈ 256 (158.8/158.6); 1024 fails."""
     h4 = 4 * d
     tms = (1024, 512, 256, 128) if d <= 320 else (512, 256, 128)
+    # LDM_FFN_TM caps the M tile: escape hatch for compile environments
+    # whose scoped-vmem limit rejects the swept optimum (observed on the
+    # axon local-AOT fallback at d=640 TM=512: 17.11M vs a 16M limit,
+    # while the primary compile service accepts the same kernel).
+    cap = int(os.environ.get("LDM_FFN_TM", "0") or 0)
+    if cap:
+        tms = tuple(t for t in tms if t <= cap) or (cap,)
     for tm in tms:
         if m % tm == 0:
             return tm, h4

@@ -29,8 +29,10 @@ sys.path.insert(0, REPO)
 
 WS = "/tmp/serve_ws"
 AOT = os.path.join(WS, "pipeline.aotexec")
+AOT_BF16 = os.path.join(WS, "pipeline_bf16.aotexec")
 CACHE = os.path.join(WS, "xla_cache")
 CFG = os.path.join(WS, "serve_cfg.yaml")
+CFG_BF16 = os.path.join(WS, "serve_cfg_bf16.yaml")
 
 
 def make_artifacts(batch: int) -> None:
@@ -86,13 +88,52 @@ def make_artifacts(batch: int) -> None:
     print("[ws] artifacts written", flush=True)
 
 
-def one_start(tag: str) -> dict:
+def make_bf16_artifacts() -> None:
+    """Half-size serving artifacts (round-4 restore lever): f32 leaves of
+    the three artifacts cast to bf16 on disk, plus a config that loads
+    them with tpu.weights_dtype bfloat16 (cast becomes a no-op and the
+    pipeline compiles for bf16 weights)."""
+    import jax
+    import ml_dtypes
+    import numpy as np
+    import yaml
+
+    from ldm_tf2_tpu.checkpoints.manager import load_params, save_params
+
+    bf16_dir = os.path.join(WS, "bf16")
+    with open(CFG) as f:
+        raw = yaml.safe_load(f)
+    names = {"cond_stage_model": "transformer-1", "unet": "unet-1",
+             "autoencoder": "autoencoder-1"}
+    new_paths = {}
+    for key, name in names.items():
+        src = raw["pre_ckpt_paths"][key]
+        dst = os.path.join(bf16_dir, name)
+        new_paths[key] = dst
+        if os.path.exists(dst):
+            continue
+        params = load_params(src)
+        params = jax.tree.map(
+            lambda a: np.asarray(a).astype(ml_dtypes.bfloat16)
+            if np.asarray(a).dtype == np.float32 else np.asarray(a),
+            params,
+        )
+        save_params(dst, params, overwrite=True)
+        del params
+    raw["pre_ckpt_paths"] = new_paths
+    raw.setdefault("tpu", {})["weights_dtype"] = "bfloat16"
+    with open(CFG_BF16, "w") as f:
+        yaml.safe_dump(raw, f)
+    print("[ws] bf16 artifacts ready", flush=True)
+
+
+def one_start(tag: str, cfg: str = CFG, aot: str = AOT) -> dict:
     req = json.dumps({"prompt": "a cat", "seed": 1, "out": f"ws_{tag}"})
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-m", "ldm_tf2_tpu.cli.serve_ldm",
-         f"--config_path={CFG}", f"--output_dir={WS}",
-         f"--aot_cache={AOT}"],
+         f"--config_path={cfg}", f"--output_dir={WS}",
+         f"--aot_cache={aot}"],
         input=req + "\n", capture_output=True, text=True, cwd=REPO,
         timeout=3600,
     )
@@ -114,15 +155,30 @@ def main() -> None:
     batch = 4
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    modes = "all"
+    if "--modes" in sys.argv:
+        modes = sys.argv[sys.argv.index("--modes") + 1]
     make_artifacts(batch)
-    shutil.rmtree(CACHE, ignore_errors=True)
-    if os.path.exists(AOT):
-        os.remove(AOT)
 
-    results = [one_start("cold")]
-    results.append(one_start("aot-warm"))
-    os.remove(AOT)
-    results.append(one_start("cache-warm"))
+    results = []
+    if modes in ("all", "f32"):
+        shutil.rmtree(CACHE, ignore_errors=True)
+        if os.path.exists(AOT):
+            os.remove(AOT)
+        results.append(one_start("cold"))
+        # aot-warm now overlaps executable deserialize with the param
+        # restore (round-4); compare against the r03 serial 150.9 s
+        results.append(one_start("aot-warm"))
+        os.remove(AOT)
+        results.append(one_start("cache-warm"))
+    if modes in ("all", "bf16"):
+        make_bf16_artifacts()
+        if os.path.exists(AOT_BF16):
+            os.remove(AOT_BF16)
+        results.append(one_start("cold-bf16", CFG_BF16, AOT_BF16))
+        # the round-4 headline row: half-size artifact restore + AOT
+        # deserialize, overlapped
+        results.append(one_start("aot-warm-bf16", CFG_BF16, AOT_BF16))
     print(json.dumps(results))
 
 

@@ -97,7 +97,10 @@ def build_train_step(batch=8, image=256):
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "unet"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ldm_trace"
-    if mode == "unet512":
+    if mode == "unet24":
+        # the 256^2 b24 headline serving shape (CFG batch 48)
+        fn, args = build_unet_eval(batch=24, latent=32)
+    elif mode == "unet512":
         fn, args = build_unet_eval(batch=4, latent=64)
     elif mode == "unet1024":
         # the `bench.py ultra` serving shape: 128x128 latents, CFG batch

@@ -80,9 +80,9 @@ def main() -> None:
                 raise SystemExit("server exited early")
             resp = json.loads(line)
             assert resp.get("ok"), resp
-            latencies.append(float(resp["latency"]))
-            print(f"[lat] request {i}: {resp['latency']:.3f} s "
-                  f"({resp['latency'] / batch:.3f} s/img)", flush=True)
+            latencies.append(float(resp["latency_s"]))
+            print(f"[lat] request {i}: {resp["latency_s"]:.3f} s "
+                  f"({resp["latency_s"] / batch:.3f} s/img)", flush=True)
         proc.stdin.write('"exit"\n')
         proc.stdin.flush()
         proc.wait(timeout=120)

@@ -844,7 +844,10 @@ def test_aot_compile_or_load_round_trip(tmp_path):
         jax.jit(f), args, path, note=notes.append
     )
     assert how == "compiled"
-    assert any("load failed" in n for n in notes)
+    # a corrupt artifact fails at the unpickle (read) stage since the
+    # round-4 aot_read/aot_try_load split; stale-but-readable artifacts
+    # fail at the device bind (load) stage
+    assert any("read failed" in n or "load failed" in n for n in notes)
     np.testing.assert_array_equal(cold, np.asarray(fb_fn(*args)))
     # the fallback compile must repair the artifact for the next start
     repaired_fn, how = factory.aot_compile_or_load(jax.jit(f), args, path)

@@ -208,6 +208,13 @@ def load_config(path: str) -> dict:
             "tpu.tensor_parallel and tpu.sequence_parallel both claim the "
             "'model' mesh axis — enable at most one"
         )
+    if tpu["tensor_parallel"] and tpu["quantize"] != "none":
+        raise ValueError(
+            "tpu.quantize int8 is a single-chip serving mode: the W8A8 "
+            "whole-chain conv kernels are not decomposed over the model "
+            "axis (ops/tp.py covers attention + FFN only) — disable one "
+            "of tpu.tensor_parallel / tpu.quantize"
+        )
     if tpu["quantize"] not in ("none", "int8"):
         raise ValueError(
             f"tpu.quantize must be 'none' or 'int8', got {tpu['quantize']!r}"

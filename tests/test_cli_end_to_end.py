@@ -250,6 +250,45 @@ def test_config_loader_validates(workspace):
     assert cfg["tpu"]["weights_dtype"] is None
 
 
+def test_config_loader_validates_parallelism_keys(workspace):
+    """tpu.tensor_parallel needs a model axis; it is mutually exclusive
+    with sequence_parallel (same mesh axis) and with int8 quantization
+    (the W8A8 conv kernels are not TP-decomposed)."""
+    import pytest
+    import yaml as _yaml
+
+    from ldm_tf2_tpu.configs import load_config
+
+    root, config_path = workspace
+    with open(config_path) as f:
+        base = _yaml.safe_load(f)
+
+    def write(tpu_overrides):
+        cfg = dict(base)
+        cfg["tpu"] = {**(base.get("tpu") or {}), **tpu_overrides}
+        p = str(root / "cfg_par.yaml")
+        with open(p, "w") as f:
+            _yaml.safe_dump(cfg, f)
+        return p
+
+    with pytest.raises(ValueError, match="model.*axis"):
+        load_config(write({"tensor_parallel": True, "mesh": {"data": -1}}))
+    with pytest.raises(ValueError, match="at most one"):
+        load_config(write({
+            "tensor_parallel": True, "sequence_parallel": True,
+            "mesh": {"data": 2, "model": 4},
+        }))
+    with pytest.raises(ValueError, match="single-chip"):
+        load_config(write({
+            "tensor_parallel": True, "quantize": "int8",
+            "mesh": {"data": 2, "model": 4},
+        }))
+    cfg = load_config(write({
+        "tensor_parallel": True, "mesh": {"data": 2, "model": 4},
+    }))
+    assert cfg["tpu"]["tensor_parallel"] is True
+
+
 def test_config_loader_validates_deepcache_keys(workspace):
     import pytest
     import yaml as _yaml

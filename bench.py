@@ -27,7 +27,15 @@ import jax.numpy as jnp
 TF2_CPU_BASELINE_IMAGES_PER_SEC = 0.004897
 
 
-def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
+def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50,
+                   sampler: str | None = None, spacing: str | None = None,
+                   cache_interval: int | None = None,
+                   int8: bool | None = None, int8_attn: bool | None = None):
+    """Build the jitted txt2img pipeline.
+
+    Mode knobs default to the LDM_BENCH_* env vars (A/B tooling contract);
+    explicit arguments override — main() uses them to measure the serving
+    -mode rows (int8 / DeepCache / dpm-karras) in one process."""
     from ldm_tf2_tpu.diffusion import make_schedule
     from ldm_tf2_tpu.diffusion.sampler import (
         ddim_sample_loop,
@@ -70,11 +78,13 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
     # (ldm.timestep_spacing). Spacing changes which timesteps are visited,
     # not the per-step cost — throughput is spacing-independent; the knob
     # exists here so quality evals and serving rows share one bench config.
+    if spacing is None:
+        spacing = os.environ.get("LDM_BENCH_SPACING", "uniform")
     schedule = make_schedule(
         beta_start=0.00085,
         beta_end=0.012,
         num_ddim_steps=steps,
-        timestep_spacing=os.environ.get("LDM_BENCH_SPACING", "uniform"),
+        timestep_spacing=spacing,
     )
 
     key = jax.random.PRNGKey(0)
@@ -106,11 +116,12 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
     # LDM_BENCH_DEEPCACHE=N (N>1): DeepCache-accelerated loop — full U-Net
     # every N steps, shallow levels only in between (opt-in quality
     # trade-off, ldm_sampling.cache_interval).
-    cache_interval = int(os.environ.get("LDM_BENCH_DEEPCACHE", "1"))
+    if cache_interval is None:
+        cache_interval = int(os.environ.get("LDM_BENCH_DEEPCACHE", "1"))
     # LDM_BENCH_SAMPLER=dpm|plms: few-step higher-order solvers
     # (diffusion/solvers.py; ldm_sampling.sampler) — combine with
     # LDM_BENCH_STEPS to measure e.g. the dpm-20 serving row.
-    sampler_name = os.environ.get("LDM_BENCH_SAMPLER", "ddim")
+    sampler_name = sampler or os.environ.get("LDM_BENCH_SAMPLER", "ddim")
     if sampler_name not in ("ddim", "dpm") and cache_interval > 1:
         raise ValueError(
             "LDM_BENCH_DEEPCACHE requires the ddim or dpm sampler"
@@ -119,16 +130,17 @@ def build_pipeline(batch: int = 4, latent: int = 32, steps: int = 50):
     # LDM_BENCH_INT8=1: W8A8 int8 U-Net ResBlock convs (tpu.quantize: int8,
     # ops/quant_conv.py) — opt-in serving mode, ~2x MXU rate on the conv
     # bucket; the default/headline path stays bf16 (exact parity).
-    if os.environ.get("LDM_BENCH_INT8", "0") == "1":
-        from ldm_tf2_tpu.ops.quant_conv import set_conv_quant
+    from ldm_tf2_tpu.ops.flash_attention import set_flash_pv_int8
+    from ldm_tf2_tpu.ops.quant_conv import set_conv_quant
 
-        set_conv_quant("int8")
+    if int8 is None:
+        int8 = os.environ.get("LDM_BENCH_INT8", "0") == "1"
+    set_conv_quant("int8" if int8 else "none")
     # LDM_BENCH_INT8_ATTN=1: int8 PV flash attention
     # (tpu.quantize_attention: int8pv, ops/flash_attention.py).
-    if os.environ.get("LDM_BENCH_INT8_ATTN", "0") == "1":
-        from ldm_tf2_tpu.ops.flash_attention import set_flash_pv_int8
-
-        set_flash_pv_int8(True)
+    if int8_attn is None:
+        int8_attn = os.environ.get("LDM_BENCH_INT8_ATTN", "0") == "1"
+    set_flash_pv_int8(bool(int8_attn))
 
     def pipeline(params, token_ids, key):
         unet_p, cond_p, ae_p = params
@@ -233,42 +245,44 @@ def main():
         pipeline, params, token_ids = build_pipeline(batch=batch, steps=steps)
     key = jax.random.PRNGKey(42)
 
-    def run(k):
-        out = pipeline(params, token_ids, k)
+    def timed_throughput(pipeline, params, token_ids, runs=6):
+        """(images/sec-denominator elapsed, per-run wall times).
+
+        Warmup (compile) + a 2-run discard burst, then dispatch all runs
+        asynchronously and force one host round-trip per output AFTER
+        dispatch: the device executes the queued programs back-to-back,
+        so the (tunneled) host<->device RTT is paid once instead of once
+        per run — a per-run sync measures RTT, not chip."""
+        print("[bench] compiling + warmup run...", flush=True)
+        t0 = time.perf_counter()
+        out = pipeline(params, token_ids, key)
         # Force a host round-trip: under remote/tunneled execution,
         # block_until_ready alone has been observed returning before the
         # device work completes, so fetch a scalar.
-        return float(jnp.sum(out[0, 0, 0]))
-
-    print("[bench] compiling + warmup run...", flush=True)
-    t0 = time.perf_counter()
-    run(key)
-    print(f"[bench] warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
-    # Discard batch: the first BURST of async dispatches after compile
-    # carries a one-time warm-up cost on the tunneled runtime (measured
-    # ~0.9 s once, independent of program); absorb it outside the timed
-    # window using the same async-dispatch pattern as the timed section.
-    _discard = [
-        pipeline(params, token_ids, jax.random.fold_in(key, 1000 + i))
-        for i in range(2)
-    ]
-    for out in _discard:
         float(jnp.sum(out[0, 0, 0]))
+        warmup_s = time.perf_counter() - t0
+        print(f"[bench] warmup done in {warmup_s:.1f}s", flush=True)
+        # Discard batch: the first BURST of async dispatches after compile
+        # carries a one-time warm-up cost on the tunneled runtime
+        # (measured ~0.9 s once, independent of program); absorb it
+        # outside the timed window with the same async-dispatch pattern.
+        _discard = [
+            pipeline(params, token_ids, jax.random.fold_in(key, 1000 + i))
+            for i in range(2)
+        ]
+        for out in _discard:
+            float(jnp.sum(out[0, 0, 0]))
+        t0 = time.perf_counter()
+        outs = [
+            pipeline(params, token_ids, jax.random.fold_in(key, i))
+            for i in range(runs)
+        ]
+        for out in outs:
+            float(jnp.sum(out[0, 0, 0]))
+        return time.perf_counter() - t0, warmup_s
 
-    # Throughput: dispatch all runs asynchronously, then force one host
-    # round-trip per output AFTER dispatch. The device executes the queued
-    # programs back-to-back, so the (tunneled) host<->device RTT is paid
-    # once instead of once per run — a per-run sync measures RTT, not chip.
+    elapsed, headline_warmup_s = timed_throughput(pipeline, params, token_ids)
     runs = 6
-    t0 = time.perf_counter()
-    outs = [
-        pipeline(params, token_ids, jax.random.fold_in(key, i))
-        for i in range(runs)
-    ]
-    for out in outs:
-        float(jnp.sum(out[0, 0, 0]))
-    elapsed = time.perf_counter() - t0
-
     images_per_sec = batch * runs / elapsed
     p50_latency = elapsed / (batch * runs)
     res = "1024x1024" if ultra else "512x512" if highres else "256x256"
@@ -287,8 +301,64 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / baseline, 2),
         "p50_per_image_latency_s": round(p50_latency, 4),
+        # warmup includes trace+compile; ≤~60 s means the persistent
+        # compile cache (durable dir, configs/loader.py) was hit — a cold
+        # fresh-session compile of this program is multi-minute
+        "warmup_s": round(headline_warmup_s, 1),
         "device": str(jax.devices()[0]),
     }
+
+    # Serving-mode rows (VERDICT r4 next #8): the framework's best
+    # sustained numbers — int8+DeepCache, few-step dpm-karras, and the
+    # batch-1 latency floor — recorded alongside the exact-parity ddim-50
+    # headline so the round record shows more than the bf16 row.
+    # Best-effort: a failing mode records its error without killing the
+    # headline result.  LDM_BENCH_MODES=0 skips (A/B tooling keeps the
+    # single-config contract); highres/ultra runs skip too.
+    if not (highres or ultra) and os.environ.get("LDM_BENCH_MODES", "1") == "1":
+        import gc
+
+        del pipeline, params
+        gc.collect()
+        modes = {
+            # measured r4: 11.06 img/s same-session (vs 6.90 bf16)
+            "int8_deepcache3_ddim50": dict(
+                batch=batch, steps=50, int8=True, int8_attn=True,
+                cache_interval=3,
+            ),
+            # measured r4: 34.6 img/s; the recommended low-latency stack
+            "dpm8_karras": dict(
+                batch=batch, steps=8, sampler="dpm", spacing="karras",
+            ),
+            # batch-1 latency floor (dpm8-karras + int8): per-run sync
+            "latency_b1_dpm8_karras_int8": dict(
+                batch=1, steps=8, sampler="dpm", spacing="karras",
+                int8=True, int8_attn=True,
+            ),
+        }
+        result["modes"] = {}
+        for name, cfg in modes.items():
+            print(f"[bench] mode {name}: {cfg}", flush=True)
+            try:
+                mb = cfg.pop("batch")
+                mp, mparams, mtok = build_pipeline(batch=mb, **cfg)
+                melapsed, mwarm = timed_throughput(mp, mparams, mtok)
+                result["modes"][name] = {
+                    "images_per_sec": round(mb * runs / melapsed, 4),
+                    "p50_per_image_latency_s": round(
+                        melapsed / (mb * runs), 4
+                    ),
+                    "batch": mb,
+                    "warmup_s": round(mwarm, 1),
+                }
+            except Exception as e:  # noqa: BLE001 — record, keep going
+                result["modes"][name] = {
+                    "error": f"{type(e).__name__}: {e}"
+                }
+            finally:
+                mp = mparams = mtok = None  # noqa: F841 — free device HBM
+                gc.collect()
+
     print(json.dumps(result))
 
 

@@ -62,7 +62,18 @@ class CheckpointManager:
             state = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(abstract_state)
             )
-        except Exception:
+        except Exception as e:
+            # Only a structure/tree mismatch indicates a pre-split legacy
+            # checkpoint; transient failures (IO flake, interrupted
+            # restore) must surface as themselves, not as a confusing
+            # second-restore mismatch (ADVICE r4).
+            msg = str(e).lower()
+            if not any(
+                s in msg
+                for s in ("structure", "mismatch", "tree", "not found",
+                          "missing")
+            ):
+                raise
             legacy = fuse_abstract_geglu(abstract_state)
             import jax
 
@@ -70,9 +81,12 @@ class CheckpointManager:
                 legacy
             ) == jax.tree_util.tree_structure(abstract_state):
                 raise  # no geglu leaves to migrate — a genuine mismatch
-            state = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(legacy)
-            )
+            try:
+                state = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(legacy)
+                )
+            except Exception as e2:
+                raise e2 from e  # preserve the original mismatch cause
             state = migrate_legacy_state(state)
         return step, state
 

@@ -332,10 +332,24 @@ def main(_):
             params = replicate(params, mesh)
         token_ids = shard_batch(token_ids, mesh)
     elif n_data > 1:
-        print(
-            f"[INFO] Batch {shape[0]} not divisible by data axis {n_data}; "
-            "sampling on a single device."
-        )
+        if params_placed:
+            # params are already mesh-placed (TP/SP-sharded or
+            # replicated); only the batch sharding is skipped.  The TP
+            # kernel-composition claims require batch % data == 0, so the
+            # per-shard Pallas kernels decline and the unfused XLA math
+            # (GSPMD-partitioned over the model axis) runs instead
+            # (ADVICE r4 — the old message claimed single-device).
+            print(
+                f"[INFO] Batch {shape[0]} not divisible by data axis "
+                f"{n_data}; batch stays unsharded (params remain "
+                "mesh-placed; Pallas kernel composition disabled for "
+                "this batch size)."
+            )
+        else:
+            print(
+                f"[INFO] Batch {shape[0]} not divisible by data axis "
+                f"{n_data}; sampling on a single device."
+            )
     key = jax.random.PRNGKey(FLAGS.seed)
     cache_note = (
         f", deepcache interval {cache_interval} (levels {cache_levels})"

@@ -66,8 +66,11 @@ _TPU_DEFAULTS: dict[str, Any] = {
     # executables instead of paying the multi-minute pipeline compile
     # again. Shared across CLIs — the sampler warm-starts from a compile
     # the server did and vice versa. null disables; the
-    # JAX_COMPILATION_CACHE_DIR env var overrides.
-    "compile_cache_dir": "/tmp/ldm_tf2_tpu_xla_cache",
+    # JAX_COMPILATION_CACHE_DIR env var overrides. The default must be a
+    # DURABLE directory (never /tmp — wiped between sessions on some
+    # hosts, which turns every fresh session into a multi-minute cold
+    # compile; measured 472 s vs 26 s warm on the 0.87B pipeline).
+    "compile_cache_dir": "~/.cache/ldm_tf2_tpu/xla",
     # W8A8 int8 U-Net ResBlock convs during sampling (ops/quant_conv.py):
     # ~2x MXU rate on the conv bucket; per-example dynamic activation
     # scales + per-channel weight scales. Opt-in serving mode — output

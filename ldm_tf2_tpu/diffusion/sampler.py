@@ -79,6 +79,7 @@ def ddim_step(
     guidance_scale: float = 1.0,
     clip_denoised: bool = False,
     guidance_rescale: float = 0.0,
+    noise: jnp.ndarray | None = None,
 ):
     """One DDIM reverse step with CFG (model_runners.py:438-472).
 
@@ -88,6 +89,8 @@ def ddim_step(
       cond: [2B, seq, d] context, uncond half first.
       index: scalar int32 index into the DDIM tables.
       key: PRNG key for the stochastic (eta > 0) term.
+      noise: injected sigma-noise for trajectory-parity tests (the
+        reference author's noise{index}.npy method, model_runners.py:467).
     Returns:
       (sample, pred_x0)
     """
@@ -99,7 +102,7 @@ def ddim_step(
         guidance_scale,
         guidance_rescale,
     )
-    return ddim_update(schedule, xt, eps, index, key, clip_denoised)
+    return ddim_update(schedule, xt, eps, index, key, clip_denoised, noise)
 
 
 def ddim_update(
@@ -109,6 +112,7 @@ def ddim_update(
     index: jnp.ndarray,
     key: jax.Array,
     clip_denoised: bool = False,
+    noise: jnp.ndarray | None = None,
 ):
     """The post-epsilon DDIM update (model_runners.py:455-468): pred_x0
     from the recip-alpha tables, DDIM mean, eta-noise."""
@@ -126,7 +130,8 @@ def ddim_update(
         jnp.sqrt(acp_prev) * pred_x0
         + jnp.sqrt(1.0 - acp_prev - sigma**2) * eps
     )
-    noise = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, xt.shape, dtype=xt.dtype)
     return mean + sigma * noise, pred_x0
 
 
@@ -140,6 +145,8 @@ def ddim_sample_loop(
     clip_denoised: bool = False,
     init_noise: jnp.ndarray | None = None,
     guidance_rescale: float = 0.0,
+    step_noises: jnp.ndarray | None = None,
+    return_trajectory: bool = False,
 ) -> jnp.ndarray:
     """Full S-step DDIM reverse process as a single lax.scan
     (model_runners.py:474-509, re-expressed on-device).
@@ -148,8 +155,14 @@ def ddim_sample_loop(
       context: [2B, seq, d] text embeddings, uncond half first.
       shape: latent shape [B, h, w, c].
       key: PRNG key; split per step for the eta-noise.
+      step_noises: [S, B, h, w, c] injected per-step sigma-noise in loop
+        order (index S-1 .. 0) for eta>0 trajectory parity vs the
+        reference (its author's noise{index}.npy hook,
+        model_runners.py:467).  None draws from ``key`` per step.
+      return_trajectory: also return the [S, B, h, w, c] per-step latent
+        trajectory (drift-curve parity checks); zero cost when False.
     Returns:
-      x0 latents [B, h, w, c].
+      x0 latents [B, h, w, c]; with return_trajectory, (x0, trajectory).
     """
     num_steps = len(schedule.ddim_steps)
     key, init_key = jax.random.split(key)
@@ -159,7 +172,8 @@ def ddim_sample_loop(
         xt = init_noise  # injected for trajectory-parity tests
         # (the reference author did the same, model_runners.py:477)
 
-    def body(carry, index):
+    def body(carry, xs):
+        index, noise = xs
         xt, key = carry
         key, step_key = jax.random.split(key)
         sample, _ = ddim_step(
@@ -172,14 +186,14 @@ def ddim_sample_loop(
             guidance_scale,
             clip_denoised,
             guidance_rescale,
+            noise,
         )
-        return (sample, key), None
+        return (sample, key), (sample if return_trajectory else None)
 
-    (x0, _), _ = jax.lax.scan(
-        body,
-        (xt, key),
-        jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32),
-    )
+    indices = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
+    (x0, _), traj = jax.lax.scan(body, (xt, key), (indices, step_noises))
+    if return_trajectory:
+        return x0, traj
     return x0
 
 

@@ -379,7 +379,7 @@ class FeedForward(nn.Module):
             # shard shapes decline, fall through to the unfused math,
             # which GSPMD partitions natively — never a replicated
             # Pallas call.
-            if tp_ffn_claims(b, t, d):
+            if tp_ffn_claims(b, t, d, hidden):
                 return tp_fused_ffn(
                     x,
                     ln_scale,

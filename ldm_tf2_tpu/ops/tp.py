@@ -172,17 +172,26 @@ def tp_cross_attention_flat(q, k, v, scale, num_heads: int):
 # ---------------------------------------------------------------------------
 
 
-def tp_ffn_claims(b: int, t: int, d: int, on_tpu: bool | None = None) -> bool:
+def tp_ffn_claims(
+    b: int, t: int, d: int, hidden: int | None = None,
+    on_tpu: bool | None = None,
+) -> bool:
     """True when the column x row fused-FFN decomposition claims: the
     single-device gates (impl switch, d<=640 policy, M tiling on the
     LOCAL batch) plus per-shard hidden columns that still tile the
-    128-lane minor dim."""
+    128-lane minor dim.
+
+    ``hidden`` is FeedForward's actual width (channels * multiplier);
+    pass it so a non-default multiplier validates the real shard width
+    the kernel will see (ADVICE r4) — None falls back to the 4*d
+    default."""
     from ldm_tf2_tpu.ops import fused_ffn as ff
 
     if _TP_STATE is None:
         return False
     n = _tp_size()
-    hidden = 4 * d
+    if hidden is None:
+        hidden = 4 * d
     if hidden % n != 0 or (hidden // n) % 128 != 0:
         return False
     if ff.get_fused_ffn_impl() == "xla":

@@ -389,6 +389,58 @@ def test_orbax_roundtrip(tmp_path):
     jax.tree.map(np.testing.assert_array_equal, params, restored)
 
 
+def test_params_blob_round_trip(tmp_path):
+    """Single-blob serving artifact (checkpoints/blob.py): export three
+    mixed-dtype trees, mmap-load them back through the one-transfer +
+    jitted-unpack path, and get bit-identical leaves."""
+    import ml_dtypes
+
+    from ldm_tf2_tpu.checkpoints.blob import (
+        blob_exists,
+        export_blob,
+        load_blob,
+    )
+
+    rng = np.random.default_rng(0)
+    artifacts = {
+        "cond_stage_model": {
+            "emb": rng.standard_normal((7, 5)).astype(np.float32),
+            "layer": {
+                "w": rng.standard_normal((5, 3)).astype(ml_dtypes.bfloat16),
+                "b": np.zeros((3,), np.float32),
+            },
+        },
+        "unet": {
+            "conv": {
+                "kernel": rng.standard_normal((3, 3, 2, 4)).astype(
+                    ml_dtypes.bfloat16
+                ),
+                "bias": rng.standard_normal((4,)).astype(np.float32),
+            },
+        },
+        "autoencoder": {"scale": np.asarray(0.18215, np.float32)},
+    }
+    path = str(tmp_path / "params")
+    assert not blob_exists(path)
+    export_blob(path, artifacts)
+    assert blob_exists(path)
+
+    loaded = load_blob(path)
+    assert set(loaded) == set(artifacts)
+    for name in artifacts:
+        got_leaves = jax.tree.leaves(loaded[name])
+        want_leaves = jax.tree.leaves(artifacts[name])
+        assert len(got_leaves) == len(want_leaves)
+    jax.tree.map(
+        lambda a, b: (
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            # bit-identical includes dtype (bf16 stays bf16)
+            np.testing.assert_equal(np.asarray(a).dtype, np.asarray(b).dtype),
+        ),
+        loaded, artifacts,
+    )
+
+
 def test_legacy_geglu_train_state_resumes(tmp_path):
     """A training-state checkpoint saved BEFORE the GEGLU value/gate split
     (fused geglu/dense leaves mirrored through params, EMA, and Adam

@@ -39,7 +39,8 @@ sys.path.insert(0, REPO)
 
 from tools.make_demo_dataset import COLORS, SHAPES  # noqa: E402
 
-DEMO = "/tmp/ldm_demo"
+DEMO = os.path.expanduser(
+    os.environ.get("LDM_DEMO_DIR", "/tmp/ldm_demo"))
 CFG_PATCHED = os.path.join(DEMO, "demo_config_patched.yaml")
 REAL_N = 1024
 
@@ -104,12 +105,12 @@ def sample_mode(mode: str, prompts: list, seeds: int) -> np.ndarray:
     return gen
 
 
-def real_corpus() -> np.ndarray:
+def real_corpus(image_size: int) -> np.ndarray:
     from ldm_tf2_tpu.data.indexed import create_indexed_dataset
 
     files = sorted(glob.glob(os.path.join(DEMO, "data", "*.tfrecord")))
     it = create_indexed_dataset(
-        files, batch_size=REAL_N, image_size=64, keys=("image",),
+        files, batch_size=REAL_N, image_size=image_size, keys=("image",),
         num_workers=4,
     )
     return np.asarray(next(it), np.float32)
@@ -137,7 +138,9 @@ def main(argv):
     config = load_config(CFG_PATCHED)
     features = vgg_feature_extractor(load_params(config["lpips_ckpt_path"]))
 
-    real = real_corpus()
+    image_size = int(yaml.safe_load(open(CFG_PATCHED))[
+        "autoencoder_training"]["params"]["image_size"])
+    real = real_corpus(image_size)
     real_feats = features(real)
     print(f"[corpus-eval] real corpus {real.shape}")
 

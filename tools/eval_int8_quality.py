@@ -23,7 +23,8 @@ import yaml
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-DEMO = "/tmp/ldm_demo"
+DEMO = os.path.expanduser(
+    os.environ.get("LDM_DEMO_DIR", "/tmp/ldm_demo"))
 CFG_PATCHED = os.path.join(DEMO, "demo_config_patched.yaml")
 
 

@@ -8,7 +8,7 @@ with the SHIPPED bert_model/vocab.txt through the same tokenizer the
 caption converter uses (data/tokenizer.py), so the demo exercises the real
 text path end to end.
 
-  python tools/make_demo_dataset.py /tmp/demo_data [n_images]
+  python tools/make_demo_dataset.py /tmp/demo_data [n_images] [size]
 """
 
 import io
@@ -35,14 +35,16 @@ SIZE = 64
 MAX_SEQ_LEN = 16
 
 
-def draw_sample(rng: np.random.RandomState, color: str, shape: str):
-    img = Image.new("RGB", (SIZE, SIZE),
+def draw_sample(rng: np.random.RandomState, color: str, shape: str,
+                size: int = SIZE):
+    img = Image.new("RGB", (size, size),
                     tuple(rng.randint(180, 220, 3).tolist()))
     d = ImageDraw.Draw(img)
     c = COLORS[color]
-    s = rng.randint(18, 26)  # half-size
-    cx = rng.randint(s + 2, SIZE - s - 2)
-    cy = rng.randint(s + 2, SIZE - s - 2)
+    # half-size scaled with the canvas (same relative range as 18..26/64)
+    s = rng.randint((18 * size) // 64, (26 * size) // 64)
+    cx = rng.randint(s + 2, size - s - 2)
+    cy = rng.randint(s + 2, size - s - 2)
     if shape == "circle":
         d.ellipse([cx - s, cy - s, cx + s, cy + s], fill=c)
     elif shape == "square":
@@ -56,7 +58,7 @@ def draw_sample(rng: np.random.RandomState, color: str, shape: str):
     return img
 
 
-def main(out_dir: str, n: int = 4000) -> None:
+def main(out_dir: str, n: int = 4000, size: int = SIZE) -> None:
     os.makedirs(out_dir, exist_ok=True)
     tokenizer = load_tokenizer(
         os.path.join(os.path.dirname(os.path.dirname(
@@ -75,7 +77,7 @@ def main(out_dir: str, n: int = 4000) -> None:
         cls = rng.randint(len(prompts))
         color = list(COLORS)[cls // len(SHAPES)]
         shape = SHAPES[cls % len(SHAPES)]
-        img = draw_sample(rng, color, shape)
+        img = draw_sample(rng, color, shape, size)
         buf = io.BytesIO()
         img.save(buf, format="JPEG", quality=95)
         rec = encode_example(
@@ -90,4 +92,8 @@ def main(out_dir: str, n: int = 4000) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 4000)
+    main(
+        sys.argv[1],
+        int(sys.argv[2]) if len(sys.argv) > 2 else 4000,
+        int(sys.argv[3]) if len(sys.argv) > 3 else SIZE,
+    )

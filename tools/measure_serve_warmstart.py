@@ -27,7 +27,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-WS = "/tmp/serve_ws"
+# Durable workspace (NOT /tmp — wiped between sessions on this host):
+# the ~5 GB random-init full-size artifacts survive restarts, so repeat
+# sessions skip the ~15-minute make_artifacts step.
+WS = os.path.expanduser(
+    os.environ.get("LDM_SERVE_WS", "~/.cache/ldm_tf2_tpu/serve_ws")
+)
 AOT = os.path.join(WS, "pipeline.aotexec")
 AOT_BF16 = os.path.join(WS, "pipeline_bf16.aotexec")
 CACHE = os.path.join(WS, "xla_cache")
@@ -127,13 +132,17 @@ def make_bf16_artifacts() -> None:
     print("[ws] bf16 artifacts ready", flush=True)
 
 
-def one_start(tag: str, cfg: str = CFG, aot: str = AOT) -> dict:
+def one_start(tag: str, cfg: str = CFG, aot: str = AOT,
+              blob: str = "") -> dict:
     req = json.dumps({"prompt": "a cat", "seed": 1, "out": f"ws_{tag}"})
     t0 = time.time()
+    argv = [sys.executable, "-m", "ldm_tf2_tpu.cli.serve_ldm",
+            f"--config_path={cfg}", f"--output_dir={WS}",
+            f"--aot_cache={aot}"]
+    if blob:
+        argv.append(f"--params_blob={blob}")
     proc = subprocess.run(
-        [sys.executable, "-m", "ldm_tf2_tpu.cli.serve_ldm",
-         f"--config_path={cfg}", f"--output_dir={WS}",
-         f"--aot_cache={aot}"],
+        argv,
         input=req + "\n", capture_output=True, text=True, cwd=REPO,
         timeout=3600,
     )
@@ -143,12 +152,18 @@ def one_start(tag: str, cfg: str = CFG, aot: str = AOT) -> dict:
         raise SystemExit(f"{tag}: serve exited {proc.returncode}")
     warm_line = [l for l in proc.stderr.splitlines()
                  if "+ warm in" in l][-1]
+    restore_lines = [l for l in proc.stderr.splitlines()
+                     if "params ready in" in l]
     note_lines = [l for l in proc.stderr.splitlines()
-                  if "AOT" in l and "[serve]" in l]
+                  if ("AOT" in l or "blob" in l) and "[serve]" in l]
     print(f"[{tag}] wall {wall:.1f}s | {warm_line.strip()}"
+          + (f" | {restore_lines[-1].strip()}" if restore_lines else "")
           + (f" | {'; '.join(n.strip() for n in note_lines)}"
              if note_lines else ""), flush=True)
-    return {"tag": tag, "wall_s": round(wall, 1), "line": warm_line.strip()}
+    return {
+        "tag": tag, "wall_s": round(wall, 1), "line": warm_line.strip(),
+        "restore": restore_lines[-1].strip() if restore_lines else "",
+    }
 
 
 def main() -> None:
@@ -179,6 +194,23 @@ def main() -> None:
         # the round-4 headline row: half-size artifact restore + AOT
         # deserialize, overlapped
         results.append(one_start("aot-warm-bf16", CFG_BF16, AOT_BF16))
+    if modes in ("all", "blob"):
+        # round-5 restore lever (VERDICT r4 next #4): single-blob mmap
+        # params.  Same-session A/B pair: aot-warm-bf16 (Orbax restore)
+        # vs blob-warm-bf16 (one transfer + jitted unpack).
+        make_bf16_artifacts()
+        blob = os.path.join(WS, "params_bf16")
+        if os.path.exists(AOT_BF16):
+            results.append(
+                one_start("aot-warm-bf16", CFG_BF16, AOT_BF16)
+            )
+        # priming start (writes the blob; also writes AOT if missing)
+        results.append(
+            one_start("blob-prime-bf16", CFG_BF16, AOT_BF16, blob=blob)
+        )
+        results.append(
+            one_start("blob-warm-bf16", CFG_BF16, AOT_BF16, blob=blob)
+        )
     print(json.dumps(results))
 
 

@@ -32,9 +32,25 @@ import yaml
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-DEMO = "/tmp/ldm_demo"
-CFG = os.path.join(REPO, "configs", "demo_config.yaml")
+# LDM_DEMO_DIR/LDM_DEMO_CFG select the workdir + config: the default is
+# the fast /tmp demo; the bigger quality-evidence run (VERDICT r4 #5)
+# uses configs/demo_big_config.yaml with a DURABLE workdir so the
+# trained model survives session restarts (/tmp is wiped on this host).
+DEMO = os.path.expanduser(os.environ.get("LDM_DEMO_DIR", "/tmp/ldm_demo"))
+CFG = os.environ.get(
+    "LDM_DEMO_CFG", os.path.join(REPO, "configs", "demo_config.yaml")
+)
 CFG_PATCHED = os.path.join(DEMO, "demo_config_patched.yaml")
+
+
+def _demo_params():
+    """(image_size, n_images) from the config's training params."""
+    with open(CFG) as f:
+        raw = yaml.safe_load(f)
+    p = raw["autoencoder_training"]["params"]
+    return int(p["image_size"]), int(
+        raw.get("demo", {}).get("n_images", 4000)
+    )
 
 
 def run(cmd, **kw):
@@ -82,7 +98,8 @@ def measure_scale_factor():
     ae_params = load_params(config["pre_ckpt_paths"]["autoencoder"])
     files = sorted(glob.glob(os.path.join(DEMO, "data", "*.tfrecord")))
     it = create_indexed_dataset(
-        files, batch_size=64, image_size=64, keys=("image",), num_workers=4
+        files, batch_size=64, image_size=_demo_params()[0],
+        keys=("image",), num_workers=4
     )
     images = jnp.asarray(next(it), jnp.float32)
 
@@ -126,7 +143,8 @@ def recon_grid():
     ae_params = load_params(config["pre_ckpt_paths"]["autoencoder"])
     files = sorted(glob.glob(os.path.join(DEMO, "data", "*.tfrecord")))
     it = create_indexed_dataset(
-        files, batch_size=16, image_size=64, keys=("image",), num_workers=2
+        files, batch_size=16, image_size=_demo_params()[0],
+        keys=("image",), num_workers=2
     )
     originals = jnp.asarray(next(it), jnp.float32)
 
@@ -186,7 +204,8 @@ def quality_eval():
 
     files = sorted(glob.glob(os.path.join(DEMO, "data", "*.tfrecord")))
     it = create_indexed_dataset(
-        files, batch_size=128, image_size=64, keys=("image",), num_workers=4
+        files, batch_size=128, image_size=_demo_params()[0],
+        keys=("image",), num_workers=4
     )
     real = np.asarray(next(it), np.float32)
     np.save(os.path.join(DEMO, "real.npy"), real)
@@ -199,8 +218,9 @@ def quality_eval():
 def main(argv):
     os.makedirs(DEMO, exist_ok=True)
     if "--skip-data" not in argv:
+        size, n_images = _demo_params()
         run([sys.executable, "tools/make_demo_dataset.py",
-             os.path.join(DEMO, "data")])
+             os.path.join(DEMO, "data"), str(n_images), str(size)])
         init_artifacts()
     if "--skip-ae" not in argv:
         run([sys.executable, "-m",

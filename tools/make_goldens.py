@@ -424,7 +424,13 @@ def golden_autoencoder_vq_prod():
     model = AutoencoderVQ()
     rng = np.random.Generator(np.random.Philox(18))
     x = rng.standard_normal((1, 256, 256, 3)).astype(np.float32) * 0.5
-    model(tf.constant(np.zeros((1, 64, 64, 3), np.float32)))  # build
+    # Build at the REAL input size: the reference places attention at
+    # CALL time from the actual spatial dims (autoencoder.py:117
+    # `outputs.shape[1] in self._attention_resolutions`), so a smaller
+    # build input would lazily build (and seed) attention at the wrong
+    # levels — the layers that actually run at 256^2 would then get
+    # unseeded TF-default weights.
+    model(tf.constant(np.zeros((1, 256, 256, 3), np.float32)))  # build
     assign_weights(model, SEED + 18)
     latents = model.encode(tf.constant(x), only_encode=True).numpy()
     quantized, codebook_loss, indices = model.encode(tf.constant(x))

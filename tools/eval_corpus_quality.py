@@ -14,6 +14,8 @@ Mode grammar (composable serving-menu rows):
   plmsN         sampler: plms at N steps
   <mode>-karras / <mode>-trailing
                 ldm.timestep_spacing for the mode (e.g. dpm20-karras)
+  a+b           composed mechanisms (e.g. int8+dpm8-karras — the
+                recommended latency-mode stack; int8+deepcache3)
 
 Requires the /tmp/ldm_demo workdir from tools/run_demo.py (trained
 checkpoints + patched config).
@@ -48,25 +50,29 @@ REAL_N = 1024
 def patch_config(mode: str) -> str:
     # Optional "-karras"/"-trailing" suffix on any mode selects the DDIM
     # sub-sequence spacing (ldm.timestep_spacing), e.g. "dpm20-karras".
+    # "+" composes mechanisms, e.g. "int8+dpm8-karras" — the recommended
+    # latency-mode stack — or "int8+deepcache3".
     base, spacing = mode, "uniform"
     for suffix in ("karras", "trailing"):
         if mode.endswith("-" + suffix):
             base, spacing = mode[: -len(suffix) - 1], suffix
+    parts = base.split("+")
     with open(CFG_PATCHED) as f:
         raw = yaml.safe_load(f)
     tpu = raw.setdefault("tpu", {})
-    tpu["quantize"] = "int8" if base == "int8" else "none"
+    tpu["quantize"] = "int8" if "int8" in parts else "none"
     raw["ldm"]["timestep_spacing"] = spacing
     sampling = raw["ldm_sampling"]
-    sampling["cache_interval"] = (
-        int(base[len("deepcache"):]) if base.startswith("deepcache") else 1
-    )
-    if base.startswith("dpm"):
-        sampling["sampler"] = "dpm_solver_pp_2m"
-        raw["ldm"]["num_ddim_steps"] = int(base[len("dpm"):])
-    elif base.startswith("plms"):
-        sampling["sampler"] = "plms"
-        raw["ldm"]["num_ddim_steps"] = int(base[len("plms"):])
+    sampling["cache_interval"] = 1
+    for part in parts:
+        if part.startswith("deepcache"):
+            sampling["cache_interval"] = int(part[len("deepcache"):])
+        elif part.startswith("dpm"):
+            sampling["sampler"] = "dpm_solver_pp_2m"
+            raw["ldm"]["num_ddim_steps"] = int(part[len("dpm"):])
+        elif part.startswith("plms"):
+            sampling["sampler"] = "plms"
+            raw["ldm"]["num_ddim_steps"] = int(part[len("plms"):])
     path = os.path.join(DEMO, f"corpus_cfg_{mode}.yaml")
     with open(path, "w") as f:
         yaml.safe_dump(raw, f)
